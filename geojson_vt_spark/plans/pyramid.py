@@ -1,0 +1,328 @@
+"""Top-down tile pyramid build (O12) as an iterative per-zoom DataFrame plan.
+
+Reference semantics: /root/reference/src/tile-index.ts:138-228 (splitTile BFS:
+create tile -> stop-rule check -> 4-way buffered quadrant clip -> recurse) and
+:82-120 (getTile drill-down with ancestor pruning).
+
+Spark-first design (NOT a translation of the single-threaded BFS):
+
+  * one loop iteration per zoom level; the per-tile stack becomes a *frontier*
+    DataFrame of (z, x, y, feature) rows;
+  * tile assembly (O13+O14) is a row-wise mapInPandas — tile-level counters are
+    SUM aggregates, so no tile ever has to fit in a single task (a z0 tile over
+    the full corpus stays distributed);
+  * the stop rule (z == indexMaxZoom or numPoints <= indexMaxPoints,
+    tile-index.ts:177-179) needs only per-tile vertex-count sums: a cheap
+    partial-aggregated groupBy — the only shuffle in the level;
+  * quadrant clipping is row-wise mapInPandas; feature-level bbox trivial
+    accept/reject happens inside the kernel (equivalent to the reference's
+    batch check, see functions/clip.py);
+  * each level is checkpointed (parquet under `workdir`, or localCheckpoint)
+    -> per-partition lineage: a killed job resumes at the first missing level
+    without recomputing finished zooms;
+  * empty child tiles are registered from the split-decision table (the
+    reference pushes all 4 children even when a quadrant clip is empty,
+    tile-index.ts:223-226) — no data rows needed;
+  * drill-down (getTile miss) is the same loop in target mode: stop at
+    z == cz/maxZoom, split only ancestors of the target (tile-index.ts:184-187
+    -> partition-pruning-style filter on the frontier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import Options
+from ..functions.clip import AXIS_X, AXIS_Y, clip_one
+from ..model import (
+    FEATURE_SCHEMA,
+    TILE_FEATURE_SCHEMA,
+    feature_to_row,
+    row_to_feature,
+    tile_feature_to_json,
+)
+from ..functions.tile import assemble_feature, transform_tile_feature
+
+# broadcast-join the per-level split decision back onto the frontier only while
+# the tile list is comfortably below the driver/executor broadcast limit
+_BROADCAST_TILE_LIMIT = 200_000
+
+
+def _assemble_fn(options: Options):
+    """mapInPandas kernel: frontier feature rows -> tile feature rows."""
+
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in TILE_FEATURE_SCHEMA.fields}
+            for row in pdf[cols].to_dict("records"):
+                feat = row_to_feature(row)
+                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+                tf, npts, nsimp = assemble_feature(feat, z, options)
+                out["z"].append(z)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["okey"].append(row["okey"])
+                out["npoints"].append(npts)
+                out["nsimplified"].append(nsimp)
+                out["minx"].append(row["minx"])
+                out["miny"].append(row["miny"])
+                out["maxx"].append(row["maxx"])
+                out["maxy"].append(row["maxy"])
+                if tf is None:
+                    out["tf_type"].append(None)
+                    out["tf_id"].append(None)
+                    out["tf_tags"].append(None)
+                    out["tf_geom"].append(None)
+                else:
+                    tft = transform_tile_feature(tf, z, x, y, options.extent)
+                    out["tf_type"].append(tft["type"])
+                    out["tf_id"].append(row["id"])
+                    out["tf_tags"].append(
+                        None if tft["tags"] is None else json.dumps(tft["tags"])
+                    )
+                    out["tf_geom"].append(tile_feature_to_json(tft))
+            if out["z"]:
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def _split_fn(options: Options):
+    """mapInPandas kernel: features of splitting tiles -> child-tile features.
+
+    Clip order matches tile-index.ts:208-219 (x bands first, then y), and the
+    okey gains (x-slice, y-slice) indexes so multi-slice lineMetrics output
+    keeps reference ordering.
+    """
+    k1 = 0.5 * options.buffer / options.extent
+    k2 = 0.5 - k1
+    k3 = 0.5 + k1
+    k4 = 1 + k1
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf[cols].to_dict("records"):
+                feat = row_to_feature(row)
+                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+                okey = list(row["okey"])
+                z2 = 1 << z
+                for qx, (sx, ex) in ((0, (x - k1, x + k3)), (1, (x + k2, x + k4))):
+                    xa: list = []
+                    clip_one(feat, sx / z2, ex / z2, AXIS_X, options, xa)
+                    for jx, fx in enumerate(xa):
+                        for qy, (sy, ey) in (
+                            (0, (y - k1, y + k3)),
+                            (1, (y + k2, y + k4)),
+                        ):
+                            ya: list = []
+                            clip_one(fx, sy / z2, ey / z2, AXIS_Y, options, ya)
+                            for jy, fy in enumerate(ya):
+                                rows.append(
+                                    feature_to_row(
+                                        fy,
+                                        z + 1,
+                                        x * 2 + qx,
+                                        y * 2 + qy,
+                                        okey + [jx, jy],
+                                    )
+                                )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+class PyramidStore:
+    """Accumulated pyramid state: tile features, tile registry, retained
+    sources (the drill-down frontier, tile-index.ts:174)."""
+
+    def __init__(self, spark: SparkSession, options: Options, workdir: Optional[str]):
+        self.spark = spark
+        self.options = options
+        self.workdir = workdir
+        self.tiles: list[DataFrame] = []
+        self.registry: list[DataFrame] = []
+        self.sources: list[DataFrame] = []
+
+    def tiles_df(self) -> DataFrame:
+        return self._union(self.tiles, TILE_FEATURE_SCHEMA)
+
+    def registry_df(self) -> DataFrame:
+        from ..model import REGISTRY_SCHEMA
+
+        return self._union(self.registry, REGISTRY_SCHEMA)
+
+    def sources_df(self) -> DataFrame:
+        return self._union(self.sources, FEATURE_SCHEMA)
+
+    def _union(self, dfs: list[DataFrame], schema) -> DataFrame:
+        if not dfs:
+            return self.spark.createDataFrame([], schema)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+
+def _checkpoint(df: DataFrame, workdir: Optional[str], name: str, resume: bool) -> DataFrame:
+    """Per-level lineage checkpoint. With a workdir each level is a parquet
+    snapshot (resumable); without, localCheckpoint truncates lineage."""
+    if workdir:
+        path = os.path.join(workdir, name)
+        if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
+            df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.schema(df.schema).parquet(path)
+    return df.localCheckpoint(eager=True)
+
+
+def build_pyramid(
+    features_df: DataFrame,
+    options: Options,
+    store: Optional[PyramidStore] = None,
+    workdir: Optional[str] = None,
+    resume: bool = False,
+    start: tuple = (0, 0, 0),
+    target: Optional[tuple] = None,
+) -> PyramidStore:
+    """Run the per-zoom split loop.
+
+    features_df: FEATURE_SCHEMA rows already assigned to the `start` tile.
+    target: (cz, cx, cy) for drill-down mode (getTile miss), else None for the
+            first-pass indexing run.
+    """
+    spark = features_df.sparkSession
+    if store is None:
+        store = PyramidStore(spark, options, workdir)
+
+    z0, _, _ = start
+    cz = cx = cy = None
+    if target is not None:
+        cz, cx, cy = target
+
+    frontier = features_df
+    expected: Optional[DataFrame] = None  # child keys owed a registry entry
+    z = z0
+    first_level = True
+
+    while True:
+        frontier = _checkpoint(frontier, workdir, f"frontier/z={z:02d}", resume)
+
+        asm = frontier.mapInPandas(_assemble_fn(options), TILE_FEATURE_SCHEMA)
+        asm = _checkpoint(asm, workdir, f"tiles/z={z:02d}", resume)
+
+        stats = asm.groupBy("z", "x", "y").agg(
+            F.count(F.lit(1)).alias("num_features"),
+            F.sum("npoints").alias("num_points"),
+            F.sum("nsimplified").alias("num_simplified"),
+        )
+        if expected is not None:
+            stats = (
+                expected.join(stats, ["z", "x", "y"], "left")
+                .fillna(0, ["num_features", "num_points", "num_simplified"])
+            )
+
+        # ---- stop rule (tile-index.ts:177-188) ----
+        if target is None:
+            stop = (F.col("z") == F.lit(min(options.index_max_zoom, options.max_zoom))) | (
+                F.col("num_points") <= F.lit(options.index_max_points)
+            )
+        else:
+            steps = cz - z
+            is_anc = (
+                (F.lit(z) == F.lit(cz))
+                | ((F.col("x") == F.lit(cx >> steps if steps > 0 else cx))
+                   & (F.col("y") == F.lit(cy >> steps if steps > 0 else cy)))
+            )
+            stop = (F.lit(z) == F.lit(options.max_zoom)) | (F.lit(z) == F.lit(cz)) | (~is_anc)
+
+        decision = stats.withColumn(
+            "split", (~stop) & (F.col("num_features") > 0)
+        ).withColumn("stopped", stop)
+        decision = decision.cache()
+
+        # registry entries for this level (tiles kept forever; source retained
+        # only where we stopped — tile-index.ts:174,191)
+        store.registry.append(
+            decision.select(
+                "z",
+                "x",
+                "y",
+                "num_features",
+                "num_points",
+                "num_simplified",
+                (F.col("stopped") & (F.col("num_features") > 0)).alias("has_source"),
+            )
+        )
+        store.tiles.append(asm.filter(F.col("tf_type").isNotNull()))
+
+        split_keys = decision.filter("split").select("z", "x", "y")
+        n_split = split_keys.count()
+
+        stop_keys = decision.filter("stopped").select("z", "x", "y")
+        if n_split < _BROADCAST_TILE_LIMIT:
+            stop_keys = F.broadcast(stop_keys)
+        sources = frontier.join(stop_keys, ["z", "x", "y"], "leftsemi")
+        sources = _checkpoint(sources, workdir, f"sources/z={z:02d}", resume)
+        store.sources.append(sources)
+
+        if first_level and target is not None:
+            # drill-down re-entry: the start tile itself is already registered
+            # by the first pass; drop the duplicate entry
+            store.registry[-1] = store.registry[-1].join(
+                spark.createDataFrame([start], ["z", "x", "y"]),
+                ["z", "x", "y"],
+                "left_anti",
+            )
+            store.tiles[-1] = store.tiles[-1].join(
+                spark.createDataFrame([start], ["z", "x", "y"]),
+                ["z", "x", "y"],
+                "left_anti",
+            )
+            store.sources[-1] = store.sources[-1].join(
+                spark.createDataFrame([start], ["z", "x", "y"]),
+                ["z", "x", "y"],
+                "left_anti",
+            )
+        first_level = False
+
+        if n_split == 0:
+            decision.unpersist()
+            break
+
+        sk = F.broadcast(split_keys) if n_split < _BROADCAST_TILE_LIMIT else split_keys
+        to_split = frontier.join(sk, ["z", "x", "y"], "leftsemi")
+        frontier = to_split.mapInPandas(_split_fn(options), FEATURE_SCHEMA)
+
+        # all 4 children of every split tile get a tile entry, even if empty
+        # (tile-index.ts:223-226)
+        expected = (
+            split_keys.select(
+                (F.col("z") + 1).alias("z"),
+                F.explode(
+                    F.array(
+                        F.struct((F.col("x") * 2).alias("cx"), (F.col("y") * 2).alias("cy")),
+                        F.struct((F.col("x") * 2).alias("cx"), (F.col("y") * 2 + 1).alias("cy")),
+                        F.struct((F.col("x") * 2 + 1).alias("cx"), (F.col("y") * 2).alias("cy")),
+                        F.struct(
+                            (F.col("x") * 2 + 1).alias("cx"), (F.col("y") * 2 + 1).alias("cy")
+                        ),
+                    )
+                ).alias("c"),
+            )
+            .select("z", F.col("c.cx").alias("x"), F.col("c.cy").alias("y"))
+        )
+        expected = _checkpoint(expected, workdir, f"expected/z={z + 1:02d}", resume)
+        decision.unpersist()
+        z += 1
+
+    return store
