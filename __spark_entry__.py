@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship: interleaved-documents corpus (input_hint shape) with
+             the us-states GeoJSON fixture riding in geojson spans -> full
+             tile pyramid (O1-O14) -> per-tile registry DataFrame.
+queries()  — SQL-expressible operators from SURVEY.md §2 + training-data
+             pipeline ops, each paired with a DuckDB oracle in oracle_sql().
+Geometry-kernel operators (clip/simplify/assemble/wrap) are validated against
+the reference golden fixtures in tests/ instead (byte-exact tile parity).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents-with-geojson-spans -> z-pyramid tile registry."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+    from geojson_vt_spark.sources.documents import (
+        features_from_documents,
+        synthesize_documents,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .limit(16)
+        .collect()
+    ]
+    with open(os.path.join(_REPO, "tests", "fixtures", "us-states.json")) as f:
+        payload = f.read()
+
+    docs = synthesize_documents(spark, [payload], n_docs=16, texts=texts)
+    options = Options(index_max_zoom=7, index_max_points=200)
+    feats = features_from_documents(docs, options)
+    eng = GeoJSONVTSpark(spark, features_df=feats, options=options)
+    return eng.registry().orderBy("z", "x", "y").select(
+        "z", "x", "y", "num_features", "num_points", "num_simplified",
+        F.col("has_source").cast("int").alias("has_source"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from geojson_vt_spark.analytics import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geojson_vt_spark.analytics import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,176 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metrics per BASELINE.json:
+  * tiles/sec — full z0..z14 pyramid over seeded synthetic rectangle features
+    (mirrors the reference bench generator /root/reference/bench/benchmark.ts:30-41,
+    with a fixed seed; feature count scales with SF);
+  * join-rows/sec — point-in-polygon + kNN cell joins at SF scale;
+  * per-query seconds for the analytics surface's heaviest entries.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Iterator
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .appName("geojson-vt-spark-bench")
+        .getOrCreate()
+    )
+
+
+def synth_rect_features(spark: SparkSession, n: int, options):
+    """Deterministic random-ish rectangles (hash-mix per id, no RNG state):
+    uniform lon/lat centers, widths 0.1-0.6 deg — the reference bench shape."""
+    from geojson_vt_spark.functions.convert import convert_geojson
+    from geojson_vt_spark.functions.wrap import wrap_features
+    from geojson_vt_spark.model import FEATURE_SCHEMA, feature_to_row
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h1 = (i * 2654435761) % 4294967296 / 4294967296.0
+                h2 = (i * 2246822519 + 101) % 4294967296 / 4294967296.0
+                h3 = (i * 3266489917 + 202) % 4294967296 / 4294967296.0
+                h4 = (i * 668265263 + 303) % 4294967296 / 4294967296.0
+                lon = h1 * 360.0 - 180.0
+                lat = h2 * 160.0 - 80.0
+                w = 0.1 + h3 * 0.5
+                ht = 0.1 + h4 * 0.5
+                geo = {
+                    "type": "Feature",
+                    "id": i,
+                    "properties": {"i": i},
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[
+                            [lon, lat], [lon + w, lat], [lon + w, lat + ht],
+                            [lon, lat + ht], [lon, lat],
+                        ]],
+                    },
+                }
+                feats = convert_geojson(geo, options)
+                for fidx, (wcopy, f) in enumerate(wrap_features(feats, options)):
+                    rows.append(feature_to_row(f, 0, 0, 0, [wcopy, i, fidx]))
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    base = spark.range(n).repartition(max(int(spark.conf.get("spark.default.parallelism")), 8))
+    return base.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def bench_pyramid(spark: SparkSession, n_features: int) -> dict:
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.plans.pyramid import build_pyramid
+
+    options = Options(max_zoom=14, index_max_zoom=14, index_max_points=128)
+    feats = synth_rect_features(spark, n_features, options)
+    t0 = time.time()
+    store = build_pyramid(feats, options)
+    n_tiles = store.registry_df().count()
+    n_tile_features = store.tiles_df().count()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "tiles": n_tiles,
+        "tile_features": n_tile_features,
+        "tiles_per_sec": n_tiles / dt,
+    }
+
+
+def bench_joins(spark: SparkSession, sf_dir: str) -> dict:
+    from geojson_vt_spark.analytics import q_knn_join, q_pip_join
+
+    t0 = time.time()
+    pip_rows = q_pip_join(spark, sf_dir).agg(F.sum("n_points")).collect()[0][0] or 0
+    t_pip = time.time() - t0
+
+    t0 = time.time()
+    knn_rows = q_knn_join(spark, sf_dir).count()
+    t_knn = time.time() - t0
+    return {
+        "pip_sec": t_pip,
+        "pip_rows": int(pip_rows),
+        "knn_sec": t_knn,
+        "knn_rows": int(knn_rows),
+        "join_rows_per_sec": (pip_rows + knn_rows) / (t_pip + t_knn),
+    }
+
+
+def bench_analytics(spark: SparkSession, sf_dir: str) -> dict:
+    from geojson_vt_spark.analytics import QUERIES
+
+    picks = [
+        "ann_cosine_topk", "dedup_exact", "ngram_jaccard_dedup",
+        "leaves_pagination", "invalidation_join", "weighted_centroid",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_features = max(int(100_000 * sf), 500)
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pyr = bench_pyramid(spark, n_features)
+    joins = bench_joins(spark, sf_dir)
+    qsec = bench_analytics(spark, sf_dir)
+
+    total = round(pyr["sec"] + joins["pip_sec"] + joins["knn_sec"] + sum(qsec.values()), 3)
+    queries = {
+        "pyramid_z14": round(pyr["sec"], 3),
+        "pip_join": round(joins["pip_sec"], 3),
+        "knn_join": round(joins["knn_sec"], 3),
+        **qsec,
+    }
+    result = {
+        "metric": "tiles/sec + join-rows/sec (z0-z14 pyramid over synthetic rects; cell joins at SF)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "n_features": n_features,
+        "tiles": pyr["tiles"],
+        "tile_features": pyr["tile_features"],
+        "tiles_per_sec": round(pyr["tiles_per_sec"], 1),
+        "join_rows": joins["pip_rows"] + joins["knn_rows"],
+        "join_rows_per_sec": round(joins["join_rows_per_sec"], 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,580 @@
+"""SQL-expressible operator surface: queries + DuckDB oracles.
+
+Each entry maps a SURVEY.md §2 operator (or a training-data-pipeline op) onto
+the driver's TPC-H-ish test tables; the paired oracle is ANSI-ish SQL DuckDB
+runs on the same parquet. Column names/aliases match exactly on both sides
+(the driver hashes values after sorting columns by name).
+
+Everything here is pure DataFrame/Column work — JVM-side, codegen-friendly,
+no Python UDFs. The geometry-kernel operators are fixture-checked instead
+(tests/test_full_tiling.py); the flagship pyramid is in __spark_entry__.entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.projection import (
+    project_x_col,
+    project_y_col,
+    unproject_x_col,
+    unproject_y_col,
+)
+from .operators.spatial_join import knn_join, point_in_box_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# O3/O4 — mercator projection math (convert.ts:196-207, deconvert.ts:86-96)
+# --------------------------------------------------------------------------
+
+def q_project_mercator(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("value") % 360.0) - 180.0
+    lat = (F.col("value") % 170.0) - 85.0
+    return ev.select(
+        F.col("event_id"),
+        F.round(project_x_col(lon), 9).alias("px"),
+        F.round(project_y_col(lat), 9).alias("py"),
+    )
+
+
+SQL_PROJECT_MERCATOR = """
+SELECT event_id,
+       ROUND((value % 360.0 - 180.0) / 360.0 + 0.5, 9) AS px,
+       ROUND(LEAST(GREATEST(
+           0.5 - 0.25 * LN((1.0 + SIN(RADIANS(value % 170.0 - 85.0)))
+                         / (1.0 - SIN(RADIANS(value % 170.0 - 85.0)))) / PI(),
+           0.0), 1.0), 9) AS py
+FROM events
+"""
+
+
+def q_unproject_mercator(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") % 1000).cast("double") / 1000.0
+    y = (F.col("event_id") % 997).cast("double") / 997.0
+    return ev.select(
+        "event_id",
+        F.round(unproject_x_col(x), 9).alias("lon"),
+        F.round(unproject_y_col(y), 9).alias("lat"),
+    )
+
+
+SQL_UNPROJECT_MERCATOR = """
+SELECT event_id,
+       ROUND(((event_id % 1000) / 1000.0 - 0.5) * 360.0, 9) AS lon,
+       ROUND(360.0 * ATAN(EXP((180.0 - ((event_id % 997) / 997.0) * 360.0) * PI() / 180.0)) / PI() - 90.0, 9) AS lat
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# bbox min/max aggregation (feature.ts:74-81)
+# --------------------------------------------------------------------------
+
+def q_bbox_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("minx"),
+        F.max("l_quantity").alias("maxx"),
+        F.min("l_extendedprice").alias("miny"),
+        F.max("l_extendedprice").alias("maxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_BBOX_AGG = """
+SELECT l_returnflag,
+       MIN(l_quantity) AS minx, MAX(l_quantity) AS maxx,
+       MIN(l_extendedprice) AS miny, MAX(l_extendedprice) AS maxy,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# toID key pack/unpack (tile-index.ts:308-310)
+# --------------------------------------------------------------------------
+
+def q_tile_key_pack(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    z = (F.col("o_orderkey") % 15).cast("int")
+    z2 = F.pow(F.lit(2.0), z).cast("long")  # exact for z <= 52
+    x = F.col("o_custkey") % z2
+    y = (F.col("o_orderkey") * 7 + 3) % z2
+    key = (z2 * y + x) * 32 + z
+    return (
+        o.select(
+            F.col("o_orderkey"),
+            key.cast("long").alias("zxy_key"),
+            (key.cast("long") % 32).alias("z_decoded"),
+        )
+    )
+
+
+SQL_TILE_KEY_PACK = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 15 AS INT) AS z,
+         CAST(o_custkey AS BIGINT) AS cust
+  FROM orders
+), u AS (
+  SELECT o_orderkey, z,
+         (1::BIGINT << z) AS z2,
+         cust % (1::BIGINT << z) AS x,
+         (o_orderkey * 7 + 3) % (1::BIGINT << z) AS y
+  FROM t
+)
+SELECT o_orderkey,
+       CAST((z2 * y + x) * 32 + z AS BIGINT) AS zxy_key,
+       CAST(((z2 * y + x) * 32 + z) % 32 AS BIGINT) AS z_decoded
+FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted centroid (cluster-tile-index.ts:408-440)
+# --------------------------------------------------------------------------
+
+def q_weighted_centroid(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    npts = (F.col("event_id") % 7 + 1).cast("double")
+    x = (F.col("value") % 100.0) / 100.0
+    y = (F.col("user_id") % 100).cast("double") / 100.0
+    agg = ev.select(F.col("event_type"), (x * npts).alias("wx"), (y * npts).alias("wy"), npts.alias("n"))
+    return agg.groupBy("event_type").agg(
+        F.round(F.sum("wx") / F.sum("n"), 9).alias("cx"),
+        F.round(F.sum("wy") / F.sum("n"), 9).alias("cy"),
+        F.sum("n").cast("long").alias("point_count"),
+    )
+
+
+SQL_WEIGHTED_CENTROID = """
+WITH p AS (
+  SELECT event_type,
+         (value % 100.0) / 100.0 AS x,
+         (user_id % 100) / 100.0 AS y,
+         CAST(event_id % 7 + 1 AS DOUBLE) AS n
+  FROM events
+)
+SELECT event_type,
+       ROUND(SUM(x * n) / SUM(n), 9) AS cx,
+       ROUND(SUM(y * n) / SUM(n), 9) AS cy,
+       CAST(SUM(n) AS BIGINT) AS point_count
+FROM p GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# diff apply: remove = anti-join, add = union (difference.ts:87-109)
+# --------------------------------------------------------------------------
+
+def q_diff_apply(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    removed = o.where(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    kept = o.join(removed, "o_orderkey", "left_anti")
+    added = o.where(F.col("o_orderkey") % 10 == 3).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderstatus"),
+    )
+    merged = kept.select("o_orderkey", "o_totalprice", "o_orderstatus").unionByName(added)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+SQL_DIFF_APPLY = """
+WITH removed AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 3),
+kept AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.o_orderkey = orders.o_orderkey)
+),
+added AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 10 = 3
+),
+merged AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total,
+       SUM(o_orderkey) AS key_sum
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# tile invalidation: bbox interval join (tile-index.ts:235-305)
+# --------------------------------------------------------------------------
+
+def q_invalidation_join(spark, sf_dir):
+    # "tiles" = price bands from part (small dim -> broadcast);
+    # "affected features" = lineitem price points
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 50 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    tiles = p.select(
+        F.col("p_partkey").alias("tile_id"),
+        F.col("p_retailprice").alias("lo"),
+        (F.col("p_retailprice") + 150.0).alias("hi"),
+    )
+    hits = li.join(
+        F.broadcast(tiles),
+        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return hits.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+
+
+SQL_INVALIDATION_JOIN = """
+WITH tiles AS (
+  SELECT p_partkey AS tile_id, p_retailprice AS lo, p_retailprice + 150.0 AS hi
+  FROM part WHERE p_partkey % 50 = 0
+)
+SELECT tile_id, COUNT(*) AS n_hits, SUM(l_orderkey) AS key_sum
+FROM lineitem JOIN tiles
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY tile_id
+"""
+
+
+# --------------------------------------------------------------------------
+# getLeaves pagination (cluster-tile-index.ts:294-320) — row_number + range
+# --------------------------------------------------------------------------
+
+def q_leaves_pagination(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where((F.col("rn") > 1) & (F.col("rn") <= 4))
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_LEAVES_PAGINATION = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn > 1 AND rn <= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# point_count_abbreviated formatting (cluster-tile-index.ts:502-516)
+# --------------------------------------------------------------------------
+
+def q_count_abbrev(spark, sf_dir):
+    """Reference semantics (cluster-tile-index.ts:504-507):
+    >=10000 -> `${Math.round(n/1000)}k`; >=1000 -> `${Math.round(n/100)/10}k`
+    (JS drops a trailing .0). Math.round(x) for x>=0 == floor(x+0.5), done in
+    exact integer arithmetic so Spark and the SQL oracle agree bitwise."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg((F.count(F.lit(1)) * 997).alias("point_count"))
+    n = F.col("point_count")
+    k1 = F.expr("(point_count + 500) DIV 1000")
+    r = F.expr("(point_count + 50) DIV 100")
+    mid = F.when(r % 10 == 0, F.concat((r / 10).cast("long").cast("string"), F.lit("k"))).otherwise(
+        F.concat((r / 10).cast("long").cast("string"), F.lit("."), (r % 10).cast("string"), F.lit("k"))
+    )
+    abbrev = (
+        F.when(n >= 10000, F.concat(k1.cast("string"), F.lit("k")))
+        .when(n >= 1000, mid)
+        .otherwise(n.cast("string"))
+    )
+    return counts.select("user_id", "point_count", abbrev.alias("abbrev"))
+
+
+SQL_COUNT_ABBREV = """
+WITH c AS (SELECT user_id, COUNT(*) * 997 AS point_count FROM events GROUP BY user_id)
+SELECT user_id, point_count,
+       CASE WHEN point_count >= 10000
+              THEN CAST((point_count + 500) // 1000 AS VARCHAR) || 'k'
+            WHEN point_count >= 1000 THEN
+              CASE WHEN ((point_count + 50) // 100) % 10 = 0
+                   THEN CAST(((point_count + 50) // 100) // 10 AS VARCHAR) || 'k'
+                   ELSE CAST(((point_count + 50) // 100) // 10 AS VARCHAR) || '.'
+                        || CAST(((point_count + 50) // 100) % 10 AS VARCHAR) || 'k'
+              END
+            ELSE CAST(point_count AS VARCHAR) END AS abbrev
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# spatial joins (north rule): PIP via cell equi-join, kNN via ring join
+# --------------------------------------------------------------------------
+
+def _event_points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("value") % 100.0) / 100.0).alias("x"),
+        ((F.col("event_id") % 997).cast("double") / 997.0).alias("y"),
+    )
+
+
+def _nation_boxes(spark, sf_dir):
+    na = _t(spark, sf_dir, "nation")
+    return na.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5).cast("double") * 0.2).alias("minx"),
+        ((F.col("n_nationkey") % 5).cast("double") * 0.2 + 0.15).alias("maxx"),
+        (F.floor(F.col("n_nationkey") / 5).cast("double") * 0.2).alias("miny"),
+        (F.floor(F.col("n_nationkey") / 5).cast("double") * 0.2 + 0.15).alias("maxy"),
+    )
+
+
+def q_pip_join(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    boxes = _nation_boxes(spark, sf_dir)
+    hits = point_in_box_join(pts, boxes, res=6)
+    return hits.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+SQL_PIP_JOIN = """
+WITH pts AS (
+  SELECT event_id, (value % 100.0) / 100.0 AS x, (event_id % 997) / 997.0 AS y
+  FROM events
+), boxes AS (
+  -- 0.2::DOUBLE matters: a bare 0.2 is DECIMAL in DuckDB and would make
+  -- 3 * 0.2 exactly 0.6 instead of the double 0.6000000000000001
+  SELECT n_nationkey,
+         (n_nationkey % 5) * 0.2::DOUBLE AS minx,
+         (n_nationkey % 5) * 0.2::DOUBLE + 0.15::DOUBLE AS maxx,
+         CAST(FLOOR(n_nationkey / 5) AS DOUBLE) * 0.2::DOUBLE AS miny,
+         CAST(FLOOR(n_nationkey / 5) AS DOUBLE) * 0.2::DOUBLE + 0.15::DOUBLE AS maxy
+  FROM nation
+)
+SELECT n_nationkey, COUNT(*) AS n_points, SUM(event_id) AS id_sum
+FROM pts JOIN boxes
+  ON x >= minx AND x <= maxx AND y >= miny AND y <= maxy
+GROUP BY n_nationkey
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("a_id"),
+        ((F.col("c_custkey") % 991).cast("double") / 991.0).alias("x"),
+        ((F.col("c_custkey") % 983).cast("double") / 983.0).alias("y"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("b_id"),
+        ((F.col("s_suppkey") % 991).cast("double") / 991.0).alias("x"),
+        ((F.col("s_suppkey") % 983).cast("double") / 983.0).alias("y"),
+    )
+    out = knn_join(c, s, k=3, res=4)
+    return out.select("a_id", "b_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_KNN_JOIN = """
+WITH a AS (
+  SELECT c_custkey AS a_id, (c_custkey % 991) / 991.0 AS x, (c_custkey % 983) / 983.0 AS y
+  FROM customer
+), b AS (
+  SELECT s_suppkey AS b_id, (s_suppkey % 991) / 991.0 AS x, (s_suppkey % 983) / 983.0 AS y
+  FROM supplier
+), d AS (
+  SELECT a.a_id, b.b_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.a_id
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), b.b_id
+         ) AS BIGINT) AS rank
+  FROM a CROSS JOIN b
+)
+SELECT a_id, b_id, rank FROM d WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops: dedup / text analysis / ANN
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # exact dedup on a normalized key (first 5 whitespace tokens)
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    return (
+        d.select(F.col("doc_id"), key.alias("dkey"))
+        .groupBy("dkey")
+        .agg(F.min("doc_id").alias("kept_doc"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT dkey, MIN(doc_id) AS kept_doc, COUNT(*) AS dup_count FROM (
+  SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS dkey
+  FROM documents
+) GROUP BY dkey
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    avg_len = F.length("text").cast("double") / n_tok
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        F.round(avg_len, 9).alias("avg_token_len"),
+        F.round(uniq_ratio, 9).alias("uniq_ratio"),
+        (F.length("text") >= 100).alias("len_ok"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       ROUND(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS avg_token_len,
+       ROUND(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS uniq_ratio,
+       length(text) >= 100 AS len_ok
+FROM documents
+"""
+
+
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Near-dup detection: pairwise token-set jaccard within same source
+    bucket (bounded candidate set), threshold 0.5."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, on="source").where(F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 9).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_NGRAM_JACCARD_DEDUP = """
+WITH d AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 9) AS jaccard
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a fixed query vector (the scale path is the
+    LSH/IVF variant — rows-only checked; this is the exact baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = e.crossJoin(F.broadcast(qv)).where(F.col("vec_id") != 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qe"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    cos = F.round(dot / (na * nb), 6)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        j.select("vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id,
+         ROUND(
+           list_reduce(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+           6) AS cos
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, cos, rank FROM (
+  SELECT vec_id, cos,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM d
+) WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "project_mercator": q_project_mercator,
+    "unproject_mercator": q_unproject_mercator,
+    "bbox_agg": q_bbox_agg,
+    "tile_key_pack": q_tile_key_pack,
+    "weighted_centroid": q_weighted_centroid,
+    "diff_apply": q_diff_apply,
+    "invalidation_join": q_invalidation_join,
+    "leaves_pagination": q_leaves_pagination,
+    "count_abbrev": q_count_abbrev,
+    "pip_join": q_pip_join,
+    "knn_join": q_knn_join,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+ORACLES = {
+    "project_mercator": SQL_PROJECT_MERCATOR,
+    "unproject_mercator": SQL_UNPROJECT_MERCATOR,
+    "bbox_agg": SQL_BBOX_AGG,
+    "tile_key_pack": SQL_TILE_KEY_PACK,
+    "weighted_centroid": SQL_WEIGHTED_CENTROID,
+    "diff_apply": SQL_DIFF_APPLY,
+    "invalidation_join": SQL_INVALIDATION_JOIN,
+    "leaves_pagination": SQL_LEAVES_PAGINATION,
+    "count_abbrev": SQL_COUNT_ABBREV,
+    "pip_join": SQL_PIP_JOIN,
+    "knn_join": SQL_KNN_JOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "ngram_jaccard_dedup": SQL_NGRAM_JACCARD_DEDUP,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+}
