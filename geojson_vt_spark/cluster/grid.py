@@ -1,0 +1,142 @@
+"""Distributed, order-free clustering — the scale path for O17.
+
+The reference greedy pass is input-order-dependent and therefore sequential
+(/root/reference/src/cluster-tile-index.ts:386-388). At 10^12 points that
+algorithm cannot scale out, so the engine's scale mode re-expresses per-zoom
+clustering as grid binning: snap rows to cells of side r = radius/(extent*2^z)
+and merge each cell's rows into a weighted-centroid cluster when the cell
+holds >= 2 rows totalling >= minPoints.
+
+Properties vs the reference semantics (documented, invariant-tested):
+  * every cluster's members lie within one cell (diameter r*sqrt(2) <= the
+    reference's 2r merge reach) — clusters are *finer*, never coarser;
+  * point counts are conserved per zoom; centroids are the exact weighted
+    means of members; minPoints is respected;
+  * ids keep the reference encoding (id - n) % 32 == origin zoom, with the
+    packed cell index in place of the array position.
+
+Execution shape per zoom: ONE partial-aggregated shuffle (groupBy cell).
+Everything is built-in Column math — no Python in the loop — so AQE can
+coalesce/split skewed cells (dense urban areas) at runtime. Each level is
+localCheckpoint-ed to keep the 17-level loop's plan flat; pass a workdir for
+parquet snapshots (resumable lineage, same contract as plans/pyramid.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import ClusterOptions
+
+_CELL_OFF = 1 << 25  # cells can be negative for antimeridian copies
+
+
+def _packed_cell(cx, cy):
+    return (cx + F.lit(_CELL_OFF)).cast("long") * F.lit(1 << 26) + (
+        cy + F.lit(_CELL_OFF)
+    ).cast("long")
+
+
+def _checkpoint(df: DataFrame, workdir: Optional[str], name: str) -> DataFrame:
+    if workdir:
+        path = os.path.join(workdir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.schema(df.schema).parquet(path)
+    return df.localCheckpoint(eager=True)
+
+
+def build_grid_trees(
+    points_df: DataFrame,
+    options: ClusterOptions,
+    n_points: int,
+    workdir: Optional[str] = None,
+) -> dict[int, DataFrame]:
+    """points_df: (idx long, px double, py double, id string, tags string) ->
+    {zoom: tree DataFrame (index.TREE_SCHEMA columns)}."""
+    o = options
+    f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
+
+    level = points_df.select(
+        F.col("idx").alias("pos"),
+        F.col("idx").alias("vrank"),
+        f32(F.col("px")).alias("x"),
+        f32(F.col("py")).alias("y"),
+        f32(F.col("px")).alias("qx"),
+        f32(F.col("py")).alias("qy"),
+        F.col("idx").alias("src"),
+        F.lit(-1).cast("long").alias("parent"),
+        F.lit(1).cast("long").alias("num"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    trees: dict[int, DataFrame] = {}
+    trees[o.max_zoom + 1] = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
+
+    for z in range(o.max_zoom, o.min_zoom - 1, -1):
+        r = o.radius / (o.extent * (2.0 ** z))
+        cur = trees[z + 1]
+        binned = cur.withColumn("cx", F.floor(F.col("qx") / F.lit(r))).withColumn(
+            "cy", F.floor(F.col("qy") / F.lit(r))
+        )
+        # one shuffle: per-cell row count + point total (partial-agg friendly)
+        cells = binned.groupBy("cx", "cy").agg(
+            F.count(F.lit(1)).alias("cell_rows"),
+            F.sum("num").alias("cell_num"),
+            (F.sum(F.col("x") * F.col("num")) / F.sum("num")).alias("wx"),
+            (F.sum(F.col("y") * F.col("num")) / F.sum("num")).alias("wy"),
+        )
+        merged = (F.col("cell_rows") > 1) & (F.col("cell_num") >= F.lit(o.min_points))
+        cid = _packed_cell(F.col("cx"), F.col("cy")) * F.lit(32) + F.lit(
+            z + 1 + n_points
+        )
+        cells = cells.select(
+            "cx", "cy", merged.alias("merged"), cid.alias("cid"), "cell_num", "wx", "wy"
+        )
+
+        joined = binned.join(cells, ["cx", "cy"], "left")
+
+        # current level gains parent pointers (children drill-down reads them)
+        trees[z + 1] = _checkpoint(
+            joined.select(
+                "pos",
+                "vrank",
+                "x",
+                "y",
+                "qx",
+                "qy",
+                "src",
+                F.when(F.col("merged"), F.col("cid")).otherwise(F.col("parent")).alias(
+                    "parent"
+                ),
+                "num",
+                "props",
+            ),
+            workdir,
+            f"ctree_final/z={z + 1:02d}",
+        )
+
+        passthrough = joined.filter(~F.col("merged")).select(
+            "pos", "vrank", "x", "y", "qx", "qy", "src", "parent", "num", "props"
+        )
+        clusters = (
+            cells.filter("merged")
+            .select(
+                _packed_cell(F.col("cx"), F.col("cy")).alias("pos"),
+                _packed_cell(F.col("cx"), F.col("cy")).alias("vrank"),
+                F.col("wx").alias("x"),
+                F.col("wy").alias("y"),
+                f32(F.col("wx")).alias("qx"),
+                f32(F.col("wy")).alias("qy"),
+                F.col("cid").alias("src"),
+                F.lit(-1).cast("long").alias("parent"),
+                F.col("cell_num").alias("num"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        trees[z] = _checkpoint(
+            passthrough.unionByName(clusters), workdir, f"ctree/z={z:02d}"
+        )
+    return trees

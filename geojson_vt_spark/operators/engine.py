@@ -13,6 +13,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..cluster.index import ClusterTileIndexSpark
 from ..config import Options
 from ..functions.convert import convert_geojson
 from ..functions.wrap import wrap_features
@@ -59,6 +60,18 @@ class GeoJSONVTSpark:
         if features_df is not None and features_df.isEmpty():
             features_df = None
 
+        self.cluster_index: Optional[ClusterTileIndexSpark] = None
+        if self.options.cluster:
+            # cluster mode (geojsonvt.ts:64-68): ClusterTileIndex over the
+            # wrapped point features instead of the tile pyramid
+            self.store = PyramidStore(spark, self.options, workdir)
+            self.cluster_index = ClusterTileIndexSpark(
+                spark, self.options.cluster_options
+            )
+            if features_df is not None:
+                self.cluster_index.initialize_df(features_df)
+            return
+
         self.store: PyramidStore
         if features_df is None:
             # empty input -> empty index (geojsonvt.ts:64-67 skips initialize)
@@ -97,6 +110,8 @@ class GeoJSONVTSpark:
         z, x, y = int(z), int(x), int(y)
         if z < 0 or z > 24:  # geojsonvt.ts:82
             return None
+        if self.cluster_index is not None:
+            return self.cluster_index.get_tile(z, x, y)
         z2 = 1 << z
         x = (x + z2) & (z2 - 1)  # wrap x
 
@@ -132,6 +147,26 @@ class GeoJSONVTSpark:
             target=(z, x, y),
         )
         return self._fetch(z, x, y)
+
+    # -- cluster surfaces (geojsonvt.ts:160-183) ----------------------------
+
+    def get_clusters(self, bbox, zoom):
+        return self.cluster_index.get_clusters(bbox, zoom)
+
+    def get_cluster_expansion_zoom(self, cluster_id):
+        if self.cluster_index is None:
+            return None
+        return self.cluster_index.get_cluster_expansion_zoom(cluster_id)
+
+    def get_cluster_children(self, cluster_id):
+        if self.cluster_index is None:
+            return None
+        return self.cluster_index.get_children(cluster_id)
+
+    def get_cluster_leaves(self, cluster_id, limit=10, offset=0):
+        if self.cluster_index is None:
+            return None
+        return self.cluster_index.get_leaves(cluster_id, limit, offset)
 
     def _fetch(self, z: int, x: int, y: int) -> Optional[list]:
         reg = (

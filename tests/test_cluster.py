@@ -1,0 +1,270 @@
+"""Supercluster parity suite (reference: src/cluster-tile-index.test.ts).
+
+Exact mode is byte-compared against the committed fixtures and the
+reference's hard-coded expectations (children counts, leaf pagination,
+generateId ids, expansion zooms, reduce folds, bbox counts). Grid mode
+(the distributed scale path) is validated by invariants.
+"""
+
+import json
+
+import pytest
+
+from geojson_vt_spark.cluster.index import ClusterTileIndexSpark
+from geojson_vt_spark.config import ClusterOptions
+
+from .conftest import load_fixture
+
+
+@pytest.fixture(scope="module")
+def places():
+    return load_fixture("places.json")["features"]
+
+
+@pytest.fixture(scope="module")
+def default_index(spark, places):
+    return ClusterTileIndexSpark(spark, ClusterOptions()).load(places)
+
+
+def test_generates_clusters(default_index):
+    tile = default_index.get_tile(0, 0, 0)
+    golden = load_fixture("places-z0-0-0.json")["features"]
+    assert json.dumps(tile, sort_keys=True) == json.dumps(golden, sort_keys=True)
+
+
+def test_min_points_option(spark, places):
+    idx = ClusterTileIndexSpark(spark, ClusterOptions(min_points=5)).load(places)
+    tile = idx.get_tile(0, 0, 0)
+    golden = load_fixture("places-z0-0-0-min5.json")["features"]
+    assert json.dumps(tile, sort_keys=True) == json.dumps(golden, sort_keys=True)
+
+
+def test_cluster_children(default_index):
+    counts = [
+        (c["properties"] or {}).get("point_count", 1)
+        for c in default_index.get_children(163)
+    ]
+    assert counts == [6, 7, 2, 1]
+
+
+def test_cluster_leaves_pagination(default_index):
+    names = [
+        (p["properties"] or {}).get("name")
+        for p in default_index.get_leaves(163, 10, 5)
+    ]
+    assert names == [
+        "Niagara Falls",
+        "Cape San Blas",
+        "Cape Sable",
+        "Cape Canaveral",
+        "San  Salvador",
+        "Cabo Gracias a Dios",
+        "I. de Cozumel",
+        "Grand Cayman",
+        "Miquelon",
+        "Cape Bauld",
+    ]
+
+
+def test_generate_id(spark, places):
+    idx = ClusterTileIndexSpark(spark, ClusterOptions(generate_id=True)).load(places)
+    tile = idx.get_tile(0, 0, 0)
+    ids = [f["id"] for f in tile if not (f["tags"] or {}).get("cluster")]
+    assert ids == [12, 20, 21, 22, 24, 28, 30, 62, 81, 118, 119, 125, 81, 118]
+
+
+def test_leaves_null_properties(spark, places):
+    pts = places + [
+        {
+            "type": "Feature",
+            "properties": None,
+            "geometry": {
+                "type": "Point",
+                "coordinates": [-79.04411780507252, 43.08771393436908],
+            },
+        }
+    ]
+    idx = ClusterTileIndexSpark(spark, ClusterOptions()).load(pts)
+    leaves = idx.get_leaves(164, 1, 6)
+    assert leaves[0]["properties"] is None
+
+
+def test_cluster_expansion_zoom(default_index):
+    assert default_index.get_cluster_expansion_zoom(163) == 1
+    assert default_index.get_cluster_expansion_zoom(195) == 1
+    assert default_index.get_cluster_expansion_zoom(580) == 2
+    assert default_index.get_cluster_expansion_zoom(1156) == 2
+    assert default_index.get_cluster_expansion_zoom(4133) == 3
+
+
+def test_cluster_expansion_zoom_max_zoom(spark, places):
+    idx = ClusterTileIndexSpark(
+        spark, ClusterOptions(radius=60, extent=256, max_zoom=4)
+    ).load(places)
+    assert idx.get_cluster_expansion_zoom(2503) == 5
+
+
+def test_reduce_aggregation(spark, places):
+    def map_fn(props):
+        return {"sum": (props or {}).get("scalerank")}
+
+    def reduce_fn(a, b):
+        a["sum"] += b["sum"]
+
+    idx = ClusterTileIndexSpark(
+        spark, ClusterOptions(radius=100, map_fn=map_fn, reduce_fn=reduce_fn)
+    ).load(places)
+    sums1 = [f["tags"].get("sum") for f in idx.get_tile(1, 0, 0)]
+    assert [s for s in sums1 if s] == [146, 84, 63, 23, 34, 12, 19, 29, 8, 8, 80, 35]
+    sums0 = [f["tags"].get("sum") for f in idx.get_tile(0, 0, 0)]
+    assert [s for s in sums0 if s] == [298, 122, 12, 36, 98, 7, 24, 8, 125, 98, 125, 12, 36, 8]
+
+
+def test_default_map_with_reduce(spark, places):
+    idx = ClusterTileIndexSpark(
+        spark, ClusterOptions(radius=100, reduce_fn=lambda a, b: None)
+    ).load(places)
+    assert idx.get_tile(0, 0, 0) is not None
+
+
+def test_dateline_crossing_query(spark):
+    pts = [
+        {
+            "type": "Feature",
+            "properties": None,
+            "geometry": {"type": "Point", "coordinates": [lng, 0]},
+        }
+        for lng in (-178.989, -178.990, -178.991, -178.992)
+    ]
+    idx = ClusterTileIndexSpark(spark, ClusterOptions()).load(pts)
+    non_crossing = idx.get_clusters([-179, -10, -177, 10], 1)
+    crossing = idx.get_clusters([179, -10, -177, 10], 1)
+    assert len(non_crossing) > 0
+    assert len(crossing) > 0
+    assert len(non_crossing) == len(crossing)
+
+
+def test_weird_bbox_values(default_index):
+    idx = default_index
+    assert len(idx.get_clusters([129.426390, -103.720017, -445.930843, 114.518236], 1)) == 26
+    assert len(idx.get_clusters([112.207836, -84.578666, -463.149397, 120.169159], 1)) == 27
+    assert len(idx.get_clusters([129.886277, -82.332680, -445.470956, 120.390930], 1)) == 26
+    assert len(idx.get_clusters([458.220043, -84.239039, -117.137190, 120.206585], 1)) == 25
+    assert len(idx.get_clusters([456.713058, -80.354196, -118.644175, 120.539148], 1)) == 25
+    assert len(idx.get_clusters([453.105328, -75.857422, -122.251904, 120.732760], 1)) == 25
+    assert len(idx.get_clusters([-180, -90, 180, 90], 1)) == 61
+
+
+def test_non_integer_zoom(default_index):
+    assert default_index.get_clusters([179, -10, -177, 10], 1.25) is not None
+
+
+def test_same_location_clustered(spark):
+    idx = ClusterTileIndexSpark(
+        spark, ClusterOptions(max_zoom=20, extent=8192, radius=16)
+    ).load(
+        [
+            {
+                "type": "Feature",
+                "properties": None,
+                "geometry": {"type": "Point", "coordinates": [-1.426798, 53.943034]},
+            }
+        ]
+        * 2
+    )
+    assert len(idx._levels[20]) == 1
+
+
+def test_unclustered_coords_not_rounded(spark):
+    idx = ClusterTileIndexSpark(spark, ClusterOptions(max_zoom=19)).load(
+        [
+            {
+                "type": "Feature",
+                "properties": None,
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [173.19150559062456, -41.340357424709275],
+                },
+            }
+        ]
+    )
+    tile = idx.get_tile(20, 1028744, 656754)
+    assert tile[0]["geometry"][0] == [421, 281]
+
+
+def test_zero_items(spark):
+    idx = ClusterTileIndexSpark(spark, ClusterOptions()).load([])
+    assert idx.get_clusters([-180, -85, 180, 85], 0) == []
+
+
+# ---- grid mode (distributed scale path) — invariant validation -------------
+
+
+@pytest.fixture(scope="module")
+def grid_index(spark, places):
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.operators.engine import geojson_to_feature_rows
+    from geojson_vt_spark.model import FEATURE_SCHEMA
+
+    rows = geojson_to_feature_rows(
+        {"type": "FeatureCollection", "features": places}, Options(cluster=True)
+    )
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    idx = ClusterTileIndexSpark(spark, ClusterOptions(), method="grid")
+    idx.initialize_df(df)
+    return idx
+
+
+def test_grid_point_count_conserved(grid_index):
+    from pyspark.sql import functions as F
+
+    o = grid_index.options
+    total = grid_index.tree_df(o.max_zoom + 1).agg(F.sum("num")).collect()[0][0]
+    for z in (0, 4, 8, 12, 16):
+        got = grid_index.tree_df(z).agg(F.sum("num")).collect()[0][0]
+        assert got == total, f"zoom {z}: {got} != {total}"
+
+
+def test_grid_min_points_respected(grid_index):
+    from pyspark.sql import functions as F
+
+    for z in (0, 2, 6):
+        bad = (
+            grid_index.tree_df(z)
+            .filter((F.col("num") > 1) & (F.col("num") < grid_index.options.min_points))
+            .count()
+        )
+        assert bad == 0
+
+
+def test_grid_monotone_cluster_counts(grid_index):
+    # coarser zoom => no more rows than finer zoom
+    prev = None
+    for z in range(grid_index.options.max_zoom + 1, -1, -1):
+        n = grid_index.tree_df(z).count()
+        if prev is not None:
+            assert n <= prev
+        prev = n
+
+
+def test_grid_children_match_parent_counts(grid_index):
+    from pyspark.sql import functions as F
+
+    # sum of children nums == parent num, for every cluster at zoom 4
+    z = 4
+    clusters = grid_index.tree_df(z).filter(F.col("num") > 1).select(
+        F.col("src").alias("cid"), F.col("num").alias("cnum")
+    )
+    child_sums = (
+        grid_index.tree_df(z + 1)
+        .filter(F.col("parent") >= 0)
+        .groupBy("parent")
+        .agg(F.sum("num").alias("csum"))
+    )
+    joined = clusters.join(child_sums, clusters.cid == child_sums.parent, "left")
+    bad = joined.filter(
+        F.col("csum").isNull() | (F.col("csum") != F.col("cnum"))
+    ).count()
+    assert bad == 0
