@@ -14,7 +14,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..cluster.index import ClusterTileIndexSpark
-from ..config import Options
+from ..config import ClusterOptions, Options
 from ..functions.convert import convert_geojson
 from ..functions.wrap import wrap_features
 from ..model import FEATURE_SCHEMA, feature_to_row, tile_feature_from_row
@@ -59,6 +59,17 @@ class GeoJSONVTSpark:
 
         if features_df is not None and features_df.isEmpty():
             features_df = None
+
+        # updateable source snapshot (geojsonvt.ts:57-59)
+        self.source_df: Optional[DataFrame] = None
+        self._batch = 3  # okey batch prefix for appended diffs (init uses 0-2)
+        if self.options.updateable:
+            self.source_df = (
+                features_df.localCheckpoint(eager=True)
+                if features_df is not None
+                else spark.createDataFrame([], FEATURE_SCHEMA)
+            )
+            features_df = self.source_df if features_df is not None else None
 
         self.cluster_index: Optional[ClusterTileIndexSpark] = None
         if self.options.cluster:
@@ -146,7 +157,136 @@ class GeoJSONVTSpark:
             start=found,
             target=(z, x, y),
         )
+        if len(self.store.tiles) > 24:
+            self.store.compact()
         return self._fetch(z, x, y)
+
+    # -- incremental maintenance (O22-O24, geojsonvt.ts:87-157) -------------
+
+    def update_data(self, diff: Optional[dict] = None, filter=None) -> None:
+        """Apply a source diff + optional predicate filter, invalidate the
+        affected tiles, rebuild the root eagerly; deeper tiles regenerate
+        lazily on get_tile (tile-index.ts:36-61)."""
+        if not self.options.updateable:
+            raise ValueError(
+                "to update tile geojson `updateable` option must be set to true"
+            )
+        from .updates import apply_source_diff, filter_update
+
+        affected, source, self._batch = apply_source_diff(
+            self.spark, self.source_df, diff, self.options, self._batch
+        )
+        if filter is not None:
+            affected, source = filter_update(source, affected, filter)
+        affected = affected.localCheckpoint(eager=True)
+        if affected.isEmpty():
+            return
+        self.source_df = source.localCheckpoint(eager=True)
+
+        if self.cluster_index is not None:
+            # cluster mode: full rebuild (cluster-tile-index.ts:104-107)
+            self.cluster_index = ClusterTileIndexSpark(
+                self.spark, self.options.cluster_options
+            ).initialize_df(self.source_df)
+            return
+
+        self._invalidate_tiles(affected)
+        self._rebuild_root()
+        if len(self.store.tiles) > 24:
+            self.store.compact()
+
+    def _invalidate_tiles(self, affected: DataFrame) -> None:
+        """Interval/bbox join between affected-feature bboxes and buffered
+        tile bounds -> delete intersecting tiles (tile-index.ts:235-305).
+        The root is always rebuilt, so it is always invalidated here."""
+        k1 = self.options.buffer / self.options.extent  # NOT halved (:254)
+        boxes = affected.select("minx", "miny", "maxx", "maxy")
+        reg = self.store.registry_df()
+        z2 = F.pow(F.lit(2.0), F.col("z").cast("double"))
+        tminx = (F.col("x") - k1) / z2
+        tmaxx = (F.col("x") + 1 + k1) / z2
+        tminy = (F.col("y") - k1) / z2
+        tmaxy = (F.col("y") + 1 + k1) / z2
+        intersects = (
+            (F.col("maxx") >= tminx)
+            & (F.col("minx") < tmaxx)
+            & (F.col("maxy") >= tminy)
+            & (F.col("miny") < tmaxy)
+        )
+        inv = (
+            reg.join(F.broadcast(boxes), intersects, "leftsemi")
+            .select("z", "x", "y")
+            .union(self.spark.createDataFrame([(0, 0, 0)], ["z", "x", "y"]))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        store = self.store
+        for attr in ("tiles", "registry", "sources"):
+            kept = [
+                df.join(F.broadcast(inv), ["z", "x", "y"], "left_anti")
+                for df in getattr(store, attr)
+            ]
+            setattr(store, attr, kept)
+
+    def _rebuild_root(self) -> None:
+        # eager root regen with retained source (tile-index.ts:47-54)
+        if self.source_df is None or self.source_df.isEmpty():
+            # the reference still creates an (empty) root tile
+            from ..model import REGISTRY_SCHEMA
+
+            self.store.registry.append(
+                self.spark.createDataFrame(
+                    [(0, 0, 0, 0, 0, 0, False)], REGISTRY_SCHEMA
+                )
+            )
+            return
+        build_pyramid(
+            self.source_df,
+            self.options,
+            store=self.store,
+            workdir=None,
+            start=(0, 0, 0),
+            target=(0, 0, 0),
+            register_start=True,
+        )
+
+    def get_data(self) -> dict:
+        """Source export as GeoJSON (O25; geojsonvt.ts:133-136)."""
+        if not self.options.updateable:
+            raise ValueError(
+                "to retrieve data the `updateable` option must be set to true"
+            )
+        from ..functions.deconvert import features_to_geojson
+        from ..model import row_to_feature
+
+        rows = self.source_df.orderBy("okey").collect()
+        return features_to_geojson([row_to_feature(r.asDict()) for r in rows])
+
+    def update_cluster_options(self, cluster: bool, cluster_options) -> None:
+        """Toggle/retune clustering, rebuilding from the stored source
+        (geojsonvt.ts:142-157)."""
+        if self.source_df is None:
+            raise ValueError("updateClusterOptions requires the `updateable` option")
+        if isinstance(cluster_options, dict):
+            cluster_options = ClusterOptions(**cluster_options)
+        self.options = self.options.with_(
+            cluster=cluster, cluster_options=cluster_options
+        )
+        src = None if self.source_df.isEmpty() else self.source_df
+        if cluster:
+            self.cluster_index = ClusterTileIndexSpark(
+                self.spark, self.options.cluster_options
+            )
+            if src is not None:
+                self.cluster_index.initialize_df(src)
+            self.store = PyramidStore(self.spark, self.options, self.workdir)
+        else:
+            self.cluster_index = None
+            self.store = (
+                build_pyramid(src, self.options, workdir=None)
+                if src is not None
+                else PyramidStore(self.spark, self.options, self.workdir)
+            )
 
     # -- cluster surfaces (geojsonvt.ts:160-183) ----------------------------
 

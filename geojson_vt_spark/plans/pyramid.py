@@ -173,6 +173,18 @@ class PyramidStore:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def compact(self) -> None:
+        """Fold each accumulated frame list into one materialized frame.
+
+        Incremental updates and repeated drill-downs append (and anti-join)
+        per-level frames; left unchecked the union plans grow linearly with
+        the number of operations and every tile lookup re-plans them all.
+        Compacting is the Iceberg-snapshot analog: one localCheckpoint per
+        table, after which lookups scan a single cached relation."""
+        self.tiles = [self.tiles_df().localCheckpoint(eager=True)]
+        self.registry = [self.registry_df().localCheckpoint(eager=True)]
+        self.sources = [self.sources_df().localCheckpoint(eager=True)]
+
 
 def _checkpoint(df: DataFrame, workdir: Optional[str], name: str, resume: bool) -> DataFrame:
     """Per-level lineage checkpoint. With a workdir each level is a parquet
@@ -193,6 +205,7 @@ def build_pyramid(
     resume: bool = False,
     start: tuple = (0, 0, 0),
     target: Optional[tuple] = None,
+    register_start: bool = False,
 ) -> PyramidStore:
     """Run the per-zoom split loop.
 
@@ -211,49 +224,103 @@ def build_pyramid(
 
     frontier = features_df
     expected: Optional[DataFrame] = None  # child keys owed a registry entry
+    expected_keys: Optional[list] = [start]  # driver mode; None once too large
     z = z0
     first_level = True
+
+    def _stop_rule_py(tz, tx, ty, num_points):
+        if target is None:
+            return tz == min(options.index_max_zoom, options.max_zoom) or (
+                num_points <= options.index_max_points
+            )
+        steps = cz - tz
+        is_anc = tz == cz or (
+            tx == (cx >> steps if steps > 0 else cx)
+            and ty == (cy >> steps if steps > 0 else cy)
+        )
+        return tz == options.max_zoom or tz == cz or not is_anc
 
     while True:
         frontier = _checkpoint(frontier, workdir, f"frontier/z={z:02d}", resume)
 
         asm = frontier.mapInPandas(_assemble_fn(options), TILE_FEATURE_SCHEMA)
         asm = _checkpoint(asm, workdir, f"tiles/z={z:02d}", resume)
-
         stats = asm.groupBy("z", "x", "y").agg(
             F.count(F.lit(1)).alias("num_features"),
             F.sum("npoints").alias("num_points"),
             F.sum("nsimplified").alias("num_simplified"),
         )
-        if expected is not None:
-            stats = (
-                expected.join(stats, ["z", "x", "y"], "left")
-                .fillna(0, ["num_features", "num_points", "num_simplified"])
-            )
 
-        # ---- stop rule (tile-index.ts:177-188) ----
-        if target is None:
-            stop = (F.col("z") == F.lit(min(options.index_max_zoom, options.max_zoom))) | (
-                F.col("num_points") <= F.lit(options.index_max_points)
+        driver_mode = expected_keys is not None and len(expected_keys) <= _BROADCAST_TILE_LIMIT
+
+        if driver_mode:
+            # ---- driver-side decision path: the per-level tile-count is
+            # bounded (<= 4 x previous splits), so the split/stop decision
+            # table fits the driver; one job per level instead of four.
+            # Tile DATA stays distributed; only per-tile counters come back.
+            got = {(r.z, r.x, r.y): r for r in stats.collect()}
+            reg_rows = []
+            split_list: list = []
+            stop_list: list = []
+            for key in expected_keys:
+                r = got.get(key)
+                nf = r.num_features if r else 0
+                npts = r.num_points if r else 0
+                nsimp = r.num_simplified if r else 0
+                stopped = _stop_rule_py(key[0], key[1], key[2], npts)
+                if (not stopped) and nf > 0:
+                    split_list.append(key)
+                else:
+                    stop_list.append(key)
+                reg_rows.append(
+                    (key[0], key[1], key[2], nf, npts, nsimp, bool(stopped and nf > 0))
+                )
+            from ..model import REGISTRY_SCHEMA
+
+            registry_df = spark.createDataFrame(reg_rows, REGISTRY_SCHEMA)
+            n_split = len(split_list)
+            split_keys = spark.createDataFrame(
+                split_list or [(0, 0, 0)], ["z", "x", "y"]
             )
+            if not split_list:
+                split_keys = split_keys.limit(0)
+            stop_keys_df = spark.createDataFrame(
+                stop_list or [(0, 0, 0)], ["z", "x", "y"]
+            )
+            if not stop_list:
+                stop_keys_df = stop_keys_df.limit(0)
+            sources = frontier.join(
+                F.broadcast(stop_keys_df), ["z", "x", "y"], "leftsemi"
+            ).cache()  # lazy — materialized only if a drill-down reads it
+            decision = None
         else:
-            steps = cz - z
-            is_anc = (
-                (F.lit(z) == F.lit(cz))
-                | ((F.col("x") == F.lit(cx >> steps if steps > 0 else cx))
-                   & (F.col("y") == F.lit(cy >> steps if steps > 0 else cy)))
-            )
-            stop = (F.lit(z) == F.lit(options.max_zoom)) | (F.lit(z) == F.lit(cz)) | (~is_anc)
-
-        decision = stats.withColumn(
-            "split", (~stop) & (F.col("num_features") > 0)
-        ).withColumn("stopped", stop)
-        decision = decision.cache()
-
-        # registry entries for this level (tiles kept forever; source retained
-        # only where we stopped — tile-index.ts:174,191)
-        store.registry.append(
-            decision.select(
+            # ---- distributed decision path (web-scale levels) ----
+            if expected is not None:
+                stats = (
+                    expected.join(stats, ["z", "x", "y"], "left")
+                    .fillna(0, ["num_features", "num_points", "num_simplified"])
+                )
+            if target is None:
+                stop = (
+                    F.col("z") == F.lit(min(options.index_max_zoom, options.max_zoom))
+                ) | (F.col("num_points") <= F.lit(options.index_max_points))
+            else:
+                steps = cz - z
+                is_anc = (
+                    (F.lit(z) == F.lit(cz))
+                    | ((F.col("x") == F.lit(cx >> steps if steps > 0 else cx))
+                       & (F.col("y") == F.lit(cy >> steps if steps > 0 else cy)))
+                )
+                stop = (
+                    (F.lit(z) == F.lit(options.max_zoom))
+                    | (F.lit(z) == F.lit(cz))
+                    | (~is_anc)
+                )
+            decision = stats.withColumn(
+                "split", (~stop) & (F.col("num_features") > 0)
+            ).withColumn("stopped", stop)
+            decision = decision.cache()
+            registry_df = decision.select(
                 "z",
                 "x",
                 "y",
@@ -262,41 +329,32 @@ def build_pyramid(
                 "num_simplified",
                 (F.col("stopped") & (F.col("num_features") > 0)).alias("has_source"),
             )
-        )
+            split_keys = decision.filter("split").select("z", "x", "y")
+            n_split = split_keys.count()
+            stop_keys = decision.filter("stopped").select("z", "x", "y")
+            if n_split < _BROADCAST_TILE_LIMIT:
+                stop_keys = F.broadcast(stop_keys)
+            sources = frontier.join(stop_keys, ["z", "x", "y"], "leftsemi")
+            sources = _checkpoint(sources, workdir, f"sources/z={z:02d}", resume)
+
+        # registry entries for this level (tiles kept forever; source retained
+        # only where we stopped — tile-index.ts:174,191)
+        store.registry.append(registry_df)
         store.tiles.append(asm.filter(F.col("tf_type").isNotNull()))
-
-        split_keys = decision.filter("split").select("z", "x", "y")
-        n_split = split_keys.count()
-
-        stop_keys = decision.filter("stopped").select("z", "x", "y")
-        if n_split < _BROADCAST_TILE_LIMIT:
-            stop_keys = F.broadcast(stop_keys)
-        sources = frontier.join(stop_keys, ["z", "x", "y"], "leftsemi")
-        sources = _checkpoint(sources, workdir, f"sources/z={z:02d}", resume)
         store.sources.append(sources)
 
-        if first_level and target is not None:
+        if first_level and target is not None and not register_start:
             # drill-down re-entry: the start tile itself is already registered
             # by the first pass; drop the duplicate entry
-            store.registry[-1] = store.registry[-1].join(
-                spark.createDataFrame([start], ["z", "x", "y"]),
-                ["z", "x", "y"],
-                "left_anti",
-            )
-            store.tiles[-1] = store.tiles[-1].join(
-                spark.createDataFrame([start], ["z", "x", "y"]),
-                ["z", "x", "y"],
-                "left_anti",
-            )
-            store.sources[-1] = store.sources[-1].join(
-                spark.createDataFrame([start], ["z", "x", "y"]),
-                ["z", "x", "y"],
-                "left_anti",
-            )
+            start_df = spark.createDataFrame([start], ["z", "x", "y"])
+            for attr in ("registry", "tiles", "sources"):
+                lst = getattr(store, attr)
+                lst[-1] = lst[-1].join(start_df, ["z", "x", "y"], "left_anti")
         first_level = False
 
         if n_split == 0:
-            decision.unpersist()
+            if decision is not None:
+                decision.unpersist()
             break
 
         sk = F.broadcast(split_keys) if n_split < _BROADCAST_TILE_LIMIT else split_keys
@@ -305,24 +363,35 @@ def build_pyramid(
 
         # all 4 children of every split tile get a tile entry, even if empty
         # (tile-index.ts:223-226)
-        expected = (
-            split_keys.select(
-                (F.col("z") + 1).alias("z"),
-                F.explode(
-                    F.array(
-                        F.struct((F.col("x") * 2).alias("cx"), (F.col("y") * 2).alias("cy")),
-                        F.struct((F.col("x") * 2).alias("cx"), (F.col("y") * 2 + 1).alias("cy")),
-                        F.struct((F.col("x") * 2 + 1).alias("cx"), (F.col("y") * 2).alias("cy")),
-                        F.struct(
-                            (F.col("x") * 2 + 1).alias("cx"), (F.col("y") * 2 + 1).alias("cy")
-                        ),
-                    )
-                ).alias("c"),
+        if driver_mode:
+            expected_keys = [
+                (kz + 1, kx * 2 + dx, ky * 2 + dy)
+                for kz, kx, ky in split_list
+                for dx in (0, 1)
+                for dy in (0, 1)
+            ]
+            expected = None
+        else:
+            expected_keys = None
+            expected = (
+                split_keys.select(
+                    (F.col("z") + 1).alias("z"),
+                    F.explode(
+                        F.array(
+                            F.struct((F.col("x") * 2).alias("cx"), (F.col("y") * 2).alias("cy")),
+                            F.struct((F.col("x") * 2).alias("cx"), (F.col("y") * 2 + 1).alias("cy")),
+                            F.struct((F.col("x") * 2 + 1).alias("cx"), (F.col("y") * 2).alias("cy")),
+                            F.struct(
+                                (F.col("x") * 2 + 1).alias("cx"), (F.col("y") * 2 + 1).alias("cy")
+                            ),
+                        )
+                    ).alias("c"),
+                )
+                .select("z", F.col("c.cx").alias("x"), F.col("c.cy").alias("y"))
             )
-            .select("z", F.col("c.cx").alias("x"), F.col("c.cy").alias("y"))
-        )
-        expected = _checkpoint(expected, workdir, f"expected/z={z + 1:02d}", resume)
-        decision.unpersist()
+            expected = _checkpoint(expected, workdir, f"expected/z={z + 1:02d}", resume)
+        if decision is not None:
+            decision.unpersist()
         z += 1
 
     return store
