@@ -53,6 +53,31 @@ from ..functions.tile import assemble_feature, transform_tile_feature
 # the tile list is comfortably below the driver/executor broadcast limit
 _BROADCAST_TILE_LIMIT = 200_000
 
+# subtree phase: once a splitting tile's vertex count fits one task, its whole
+# sub-pyramid is finished inside a single applyInPandas group (no further
+# per-level jobs/shuffles for that subtree). The per-level BFS keeps running
+# only for tiles too big for a task — exactly the two-phase shape a large
+# cluster wants: distributed clipping while single tiles hold huge data,
+# per-subtree parallelism as soon as fan-out provides it.
+_SUBTREE_MAX_POINTS = 200_000
+_SUBTREE_MIN_TILES = 48
+
+
+def _stop_rule(z, x, y, num_points, options: Options, target) -> bool:
+    """tile-index.ts:177-188: index cutoff, or drill-down target/ancestor
+    pruning."""
+    if target is None:
+        return z == min(options.index_max_zoom, options.max_zoom) or (
+            num_points <= options.index_max_points
+        )
+    cz, cx, cy = target
+    steps = cz - z
+    is_anc = z == cz or (
+        x == (cx >> steps if steps > 0 else cx)
+        and y == (cy >> steps if steps > 0 else cy)
+    )
+    return z == options.max_zoom or z == cz or not is_anc
+
 
 def _assemble_fn(options: Options):
     """mapInPandas kernel: frontier feature rows -> tile feature rows."""
@@ -138,6 +163,137 @@ def _split_fn(options: Options):
                                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+# unified output of the subtree kernel: one applyInPandas pass emits tile
+# features (kind=1), retained sources (kind=2) and registry rows (kind=3)
+def _unified_schema():
+    from pyspark.sql import types as T
+
+    fields = {}
+    for f in TILE_FEATURE_SCHEMA.fields:
+        fields[f.name] = f.dataType
+    for f in FEATURE_SCHEMA.fields:
+        fields.setdefault(f.name, f.dataType)
+    fields["num_features"] = T.LongType()
+    fields["num_points"] = T.LongType()
+    fields["num_simplified"] = T.LongType()
+    fields["has_source"] = T.BooleanType()
+    fields["kind"] = T.IntegerType()
+    return T.StructType([T.StructField(n, t, True) for n, t in fields.items()])
+
+
+UNIFIED_SCHEMA = _unified_schema()
+
+
+def _subtree_fn(options: Options, target):
+    """applyInPandas kernel: all feature rows of ONE splitting tile ->
+    the tile's entire sub-pyramid (children assembled/registered/split
+    recursively, reference splitTile semantics, tile-index.ts:138-228)."""
+    k1 = 0.5 * options.buffer / options.extent
+    k2 = 0.5 - k1
+    k3 = 0.5 + k1
+    k4 = 1 + k1
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
+    ucols = [f.name for f in UNIFIED_SCHEMA.fields]
+    blank = {c: None for c in ucols}
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf[cols].to_dict("records")
+        rows.sort(key=lambda r: tuple(r["okey"]))
+        z0, x0, y0 = int(rows[0]["z"]), int(rows[0]["x"]), int(rows[0]["y"])
+        feats = [(list(r["okey"]), row_to_feature(r)) for r in rows]
+        out: list = []
+
+        def emit(**kw):
+            d = dict(blank)
+            d.update(kw)
+            out.append(d)
+
+        stack = [(z0, x0, y0, feats, True)]
+        while stack:
+            z, x, y, tile_feats, is_root = stack.pop()
+            if not is_root:
+                nf = len(tile_feats)
+                npts_total = 0
+                nsimp_total = 0
+                for okey, f in tile_feats:
+                    tf, npts, nsimp = assemble_feature(f, z, options)
+                    npts_total += npts
+                    nsimp_total += nsimp
+                    if tf is not None:
+                        tft = transform_tile_feature(tf, z, x, y, options.extent)
+                        emit(
+                            kind=1,
+                            z=z,
+                            x=x,
+                            y=y,
+                            okey=okey,
+                            tf_type=tft["type"],
+                            tf_id=None
+                            if f["id"] is None
+                            else json.dumps(f["id"]),
+                            tf_tags=None
+                            if tft["tags"] is None
+                            else json.dumps(tft["tags"]),
+                            tf_geom=tile_feature_to_json(tft),
+                            npoints=npts,
+                            nsimplified=nsimp,
+                            minx=f["minx"],
+                            miny=f["miny"],
+                            maxx=f["maxx"],
+                            maxy=f["maxy"],
+                        )
+                stopped = _stop_rule(z, x, y, npts_total, options, target)
+                emit(
+                    kind=3,
+                    z=z,
+                    x=x,
+                    y=y,
+                    okey=[],
+                    num_features=nf,
+                    num_points=npts_total,
+                    num_simplified=nsimp_total,
+                    has_source=bool(stopped and nf > 0),
+                )
+                if stopped:
+                    for okey, f in tile_feats:
+                        row = feature_to_row(f, z, x, y, okey)
+                        emit(kind=2, **row)
+                    continue
+                if not tile_feats:  # empty tiles never split (tile-index.ts:193)
+                    continue
+            # 4-way buffered quadrant clip (tile-index.ts:198-219)
+            z2 = 1 << z
+            children = {(0, 0): [], (0, 1): [], (1, 0): [], (1, 1): []}
+            for okey, f in tile_feats:
+                for qx, (sx, ex) in ((0, (x - k1, x + k3)), (1, (x + k2, x + k4))):
+                    xa: list = []
+                    clip_one(f, sx / z2, ex / z2, AXIS_X, options, xa)
+                    for jx, fx in enumerate(xa):
+                        for qy, (sy, ey) in (
+                            (0, (y - k1, y + k3)),
+                            (1, (y + k2, y + k4)),
+                        ):
+                            ya: list = []
+                            clip_one(fx, sy / z2, ey / z2, AXIS_Y, options, ya)
+                            for jy, fy in enumerate(ya):
+                                children[(qx, qy)].append((okey + [jx, jy], fy))
+            for (qx, qy), cfeats in children.items():
+                stack.append((z + 1, x * 2 + qx, y * 2 + qy, cfeats, False))
+
+        res = pd.DataFrame(out, columns=ucols)
+        for c in ("coords", "rsize", "rstart", "rend"):
+            res[c] = res[c].map(
+                lambda v: v.tolist() if hasattr(v, "tolist") else v
+            )
+        for c in ("rlens", "rpoly"):
+            res[c] = res[c].map(
+                lambda v: v.tolist() if hasattr(v, "tolist") else v
+            )
+        return res
 
     return fn
 
@@ -278,6 +434,50 @@ def build_pyramid(
             from ..model import REGISTRY_SCHEMA
 
             registry_df = spark.createDataFrame(reg_rows, REGISTRY_SCHEMA)
+
+            # ---- subtree phase: route task-sized splitting tiles to a
+            # one-shot per-subtree kernel; keep oversized tiles in the loop
+            subtree_list: list = []
+            if split_list and (
+                target is not None or len(split_list) >= _SUBTREE_MIN_TILES
+            ):
+                subtree_list = [
+                    k
+                    for k in split_list
+                    if got.get(k) is not None
+                    and got[k].num_points <= _SUBTREE_MAX_POINTS
+                ]
+                if subtree_list:
+                    sub_set = set(subtree_list)
+                    split_list = [k for k in split_list if k not in sub_set]
+                    sub_keys = spark.createDataFrame(subtree_list, ["z", "x", "y"])
+                    sub_frontier = frontier.join(
+                        F.broadcast(sub_keys), ["z", "x", "y"], "leftsemi"
+                    )
+                    unified = sub_frontier.groupBy("z", "x", "y").applyInPandas(
+                        _subtree_fn(options, target), UNIFIED_SCHEMA
+                    )
+                    unified = _checkpoint(
+                        unified, workdir, f"subtree/z={z:02d}", resume
+                    )
+                    store.tiles.append(
+                        unified.filter(F.col("kind") == 1).select(
+                            *[f.name for f in TILE_FEATURE_SCHEMA.fields]
+                        )
+                    )
+                    store.sources.append(
+                        unified.filter(F.col("kind") == 2).select(
+                            *[f.name for f in FEATURE_SCHEMA.fields]
+                        )
+                    )
+                    from ..model import REGISTRY_SCHEMA as _RS
+
+                    store.registry.append(
+                        unified.filter(F.col("kind") == 3).select(
+                            *[f.name for f in _RS.fields]
+                        )
+                    )
+
             n_split = len(split_list)
             split_keys = spark.createDataFrame(
                 split_list or [(0, 0, 0)], ["z", "x", "y"]
