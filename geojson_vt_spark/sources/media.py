@@ -1,0 +1,181 @@
+"""Multimodal spans: opaque binary payloads + typed metadata, with the
+decode / feature-extract / resize / frame-sample stages as Arrow-batched
+kernels over mapInPandas.
+
+The input_hint's interleaved documents carry `media_ref` spans; this module
+gives them a real Spark shape: a `media` table (binary payload + kind +
+typed metadata struct), per-kind decode kernels, and a stats query. The
+image/audio/video codec libraries are NOT in this container, so the byte-
+level decode is STUBBED with a deterministic fake (documented below); the
+Spark-side plumbing — binary columns through Arrow, per-kind dispatch,
+batch-shaped kernels, metadata schema — is real and tested. Swap
+`_fake_decode_*` for PIL/librosa/pyav calls (the guarded import shows
+where) and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+try:  # real decoders, if ever present in the image
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # noqa: BLE001
+    _HAVE_PIL = False
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),  # image/video
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),  # audio
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),  # video
+        T.StructField("sampled_frames", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive the media table from the documents corpus: one span per doc,
+    kind round-robins by doc_id, payload = the doc's text bytes (stands in
+    for the blob a media_ref would fetch; deterministic, so oracles can
+    recompute every downstream stat from `length(text)`)."""
+    kind = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
+        .otherwise("video")
+    )
+    return documents.select(
+        F.col("doc_id").cast("long"),
+        F.concat(F.lit("ref://"), kind, F.lit("/"), F.col("doc_id")).alias(
+            "media_ref"
+        ),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _fake_decode_image(payload: bytes):
+    # STUB: deterministic stand-in for PIL.Image.open(io.BytesIO(payload))
+    n = len(payload)
+    return 16 + n % 240, 16 + (n * 7) % 240
+
+
+def _fake_decode_audio(payload: bytes):
+    # STUB: deterministic stand-in for an audio codec
+    n = len(payload)
+    return n * 4, 16000
+
+
+def _fake_decode_video(payload: bytes):
+    # STUB: deterministic stand-in for container demux + frame count probe
+    n = len(payload)
+    return 32 + n % 224, 32 + (n * 3) % 224, 1 + n % 30
+
+
+def decode_media(media: DataFrame, frame_stride: int = 5) -> DataFrame:
+    """Per-kind decode/probe as one Arrow-batched kernel. Video also
+    frame-samples every `frame_stride`-th frame (the training-pipeline
+    pattern: decode -> sample -> feature-extract)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_PIL:
+            raise NotImplementedError(
+                "real codecs present: wire PIL/librosa/pyav decode here"
+            )
+        for pdf in batches:
+            out = {f.name: [] for f in DECODED_SCHEMA.fields}
+            for doc_id, ref, kind, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                row = {
+                    "doc_id": int(doc_id),
+                    "media_ref": ref,
+                    "kind": kind,
+                    "n_bytes": len(payload),
+                    "width": None,
+                    "height": None,
+                    "n_samples": None,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "sampled_frames": None,
+                }
+                if kind == "image":
+                    row["width"], row["height"] = _fake_decode_image(payload)
+                elif kind == "audio":
+                    row["n_samples"], row["sample_rate"] = _fake_decode_audio(payload)
+                else:
+                    w, h, nf = _fake_decode_video(payload)
+                    row["width"], row["height"], row["n_frames"] = w, h, nf
+                    row["sampled_frames"] = list(range(0, nf, frame_stride))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind stats over the decoded media table. Every decoded field is a
+    deterministic function of the payload length (== length(text)), so the
+    DuckDB oracle recomputes the whole pipeline relationally."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decoded = decode_media(media_from_documents(docs))
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.coalesce(F.col("width"), F.lit(0))).alias("sum_width"),
+            F.sum(F.coalesce(F.col("n_samples"), F.lit(0))).alias("sum_samples"),
+            F.sum(F.coalesce(F.size("sampled_frames"), F.lit(0))).cast("long").alias(
+                "sum_sampled"
+            ),
+        )
+    )
+
+
+SQL_MEDIA_DECODE_STATS = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         strlen(text) AS n_bytes
+  FROM documents
+), decoded AS (
+  SELECT kind, n_bytes,
+         CASE WHEN kind = 'image' THEN 16 + n_bytes % 240
+              WHEN kind = 'video' THEN 32 + n_bytes % 224 ELSE 0 END AS width,
+         CASE WHEN kind = 'audio' THEN n_bytes * 4 ELSE 0 END AS n_samples,
+         CASE WHEN kind = 'video'
+              THEN CAST(CEIL((1 + n_bytes % 30) / 5.0) AS BIGINT) ELSE 0 END AS n_sampled
+  FROM media
+)
+SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+       SUM(width) AS sum_width, SUM(n_samples) AS sum_samples,
+       SUM(n_sampled) AS sum_sampled
+FROM decoded GROUP BY kind
+"""
+
+
+QUERIES = {"media_decode_stats": q_media_decode_stats}
+ORACLES = {"media_decode_stats": SQL_MEDIA_DECODE_STATS}

@@ -1,0 +1,533 @@
+"""Training-data pipeline operators over the documents/embeddings/events
+tables — the large-scale corpus ops a 100 TB ingest needs, each expressed as
+pure DataFrame/Column work (no Python UDFs; everything whole-stage-codegen
+friendly).
+
+Oracle-checked entries ship a DuckDB SQL twin (portable arithmetic only —
+no engine-specific hash functions). LSH/sketch entries whose candidate
+generation uses Spark's xxhash64 are rows-only for the driver and
+equality-tested against their exact counterparts in tests/test_training.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.projection import project_x_col, project_y_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Deduplication: MinHash + LSH (shingle -> minhash -> band -> bucket join)
+# --------------------------------------------------------------------------
+
+_MINHASH_SEEDS = list(range(16))  # b=16 bands, r=1 row: P(miss | J=0.5) = 2^-16
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Near-dup pairs (token-set Jaccard >= 0.5) at scale: instead of the
+    O(n^2)-per-source self-join of `ngram_jaccard_dedup`, candidates come
+    from a minhash band-bucket equi-join (shuffle on (source, band, hash)),
+    then only candidates pay the exact Jaccard refine. Same output schema as
+    the exact query; with 16 bands the miss probability at the 0.5 threshold
+    is 2^-16 per qualifying pair (equality to the exact query is asserted on
+    the fixed test corpus)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    tok = d.select("doc_id", "source", F.explode("toks").alias("t"))
+    sig = tok.groupBy("doc_id", "source").agg(
+        *[
+            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
+            for s in _MINHASH_SEEDS
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("band"), F.col(f"h{s}").alias("bhash")
+                    )
+                    for s in _MINHASH_SEEDS
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.band", "b.bhash")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["source", "band", "bhash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    refined = cand.join(da, "doc_a").join(db, "doc_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return refined.select(
+        "doc_a", "doc_b", F.round(inter / union, 9).alias("jaccard")
+    ).where(F.col("jaccard") >= 0.5)
+
+
+# --------------------------------------------------------------------------
+# Deduplication: SimHash with banded Hamming join (exact by pigeonhole)
+# --------------------------------------------------------------------------
+
+
+_SQL_MINHASH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 9) AS jaccard
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+"""
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """16-bit simhash per document; near-dup pairs = same source, Hamming
+    distance <= 3. Candidates via 4 bands of 4 bits (pigeonhole: ham <= 3
+    over 4 bands forces >= 1 identical band, so recall is EXACTLY 1 —
+    banding here is a pure shuffle-reduction, not an approximation)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    contribs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id", "source").agg(*contribs)
+    sim = F.lit(0)
+    for i in range(16):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    sh = agg.select("doc_id", "source", sim.alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "simhash", "b.band", "b.bval")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["source", "band", "bval"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b")).cast("long")
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search: LSH-bucketed ANN + exact near-dup refine
+# --------------------------------------------------------------------------
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplanes (Knuth-mix constants; fixed at
+    authoring time, no runtime RNG)."""
+    return [
+        [
+            (((p * dim + d) * 2654435761 + 0x9E3779B9) % 4294967296) / 4294967296.0
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _bucket_col(planes: list):
+    """8-bit hyperplane signature of the `embedding` column (JVM-side:
+    zip_with + aggregate, no UDF)."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(w) for w in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def _cos_cols(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.col(b), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """ANN top-10 for query vec_id=0: 8 hyperplane bits -> bucket; probe all
+    buckets within Hamming <= 3 of the query's bucket; exact cosine refine +
+    top-k on the candidate set only. The scale path for `ann_cosine_topk`
+    (brute force): candidate count ~ n * P(ham<=3) instead of n."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(8, 64)  # embeddings table is 64-dim
+    eb = e.withColumn("bucket", _bucket_col(planes))
+    q = eb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    j = eb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != 0)
+    ham = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
+    )
+    cand = j.where(ham <= 3)
+    cos = F.round(_cos_cols("embedding", "qe"), 6)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicates: same-bucket candidates (one shuffle
+    on the 8-bit hyperplane signature) -> exact cosine refine. At threshold
+    0.99 two vectors land in the same bucket unless a hyperplane slices the
+    ~8-degree cone between them; bucket-join candidates ~ n/256-sized groups
+    instead of the n^2 cross join."""
+    planes = _hyperplanes(8, 64)
+    eb = embeddings.select("vec_id", "embedding").withColumn(
+        "bucket", _bucket_col(planes)
+    )
+    a = eb.alias("a")
+    b = eb.alias("b")
+    cand = a.join(b, "bucket").where(F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(_cos_cols("a.embedding", "b.embedding"), 6)
+    return cand.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    ).where(F.col("cos") >= threshold)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language-ID, fingerprinting, BPE-ish token counting
+# --------------------------------------------------------------------------
+
+_LANG_PATTERNS = {
+    "en": "(the|and|ing|tion|of )",
+    "de": "(der|und|sch|ein|ung)",
+    "fr": "(les|que|eau|ent|est)",
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Character-n-gram language heuristic: count marker n-grams per
+    language profile, argmax wins (ties broken en > de > fr)."""
+    d = _t(spark, sf_dir, "documents")
+    scores = {
+        k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), 0))
+        for k, p in _LANG_PATTERNS.items()
+    }
+    guess = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].cast("long").alias("s_en"),
+        scores["de"].cast("long").alias("s_de"),
+        scores["fr"].cast("long").alias("s_fr"),
+        guess.alias("guess"),
+    )
+
+
+SQL_LANG_ID = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '(the|and|ing|tion|of )')) AS s_en,
+       len(regexp_extract_all(text, '(der|und|sch|ein|ung)')) AS s_de,
+       len(regexp_extract_all(text, '(les|que|eau|ent|est)')) AS s_fr,
+       CASE WHEN len(regexp_extract_all(text, '(the|and|ing|tion|of )')) >= len(regexp_extract_all(text, '(der|und|sch|ein|ung)'))
+             AND len(regexp_extract_all(text, '(the|and|ing|tion|of )')) >= len(regexp_extract_all(text, '(les|que|eau|ent|est)'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(text, '(der|und|sch|ein|ung)')) >= len(regexp_extract_all(text, '(les|que|eau|ent|est)'))
+            THEN 'de' ELSE 'fr' END AS guess
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash over the token stream (document
+    fingerprinting) — portable arithmetic (first-codepoint + length per
+    token), so the DuckDB oracle folds the identical recurrence."""
+    d = _t(spark, sf_dir, "documents")
+    tok_val = lambda t: (  # noqa: E731
+        F.when(F.length(t) > 0, F.ascii(t) * 7 + F.length(t)).otherwise(0).cast("long")
+    )
+    fp = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31) + tok_val(t), F.lit(2147483647)),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(CASE WHEN length(t) > 0 THEN unicode(t) * 7 + length(t) ELSE 0 END AS BIGINT))),
+         (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), 0)
+        )
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws,
+       len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])')) AS n_bpe
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Raster side: event stream -> tile heatmap -> vector bridge
+# --------------------------------------------------------------------------
+
+_HEATMAP_Z = 6
+
+
+def _event_points(df: DataFrame) -> DataFrame:
+    """Deterministic synthetic coordinates per event (no runtime RNG)."""
+    lon = F.pmod(F.col("event_id") * 7919, F.lit(36000)) / 100.0 - 180.0
+    lat = F.pmod(F.col("event_id") * 104729, F.lit(16000)) / 100.0 - 80.0
+    return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def heatmap_cells(df: DataFrame, z: int = _HEATMAP_Z) -> DataFrame:
+    z2 = 1 << z
+    cx = F.least(
+        F.lit(z2 - 1), F.floor(project_x_col(F.col("lon")) * z2)
+    ).cast("long")
+    cy = F.least(
+        F.lit(z2 - 1), F.floor(project_y_col(F.col("lat")) * z2)
+    ).cast("long")
+    return df.withColumn("cx", cx).withColumn("cy", cy)
+
+
+def q_events_tile_heatmap(spark, sf_dir):
+    """Raster path: hourly z6 tile heatmap of the event stream — one
+    partial-agg shuffle on (hour, cx, cy). The streaming twin
+    (streaming/tile_stream.py) runs the identical plan with a watermark."""
+    ev = _event_points(_t(spark, sf_dir, "events"))
+    cells = heatmap_cells(ev)
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        cells.groupBy(hour.alias("hour_start"), "cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_TILE_HEATMAP = """
+WITH pts AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+         (event_id * 7919) % 36000 / 100.0 - 180.0 AS lon,
+         (event_id * 104729) % 16000 / 100.0 - 80.0 AS lat,
+         value
+  FROM events
+), cells AS (
+  SELECT hour_start,
+         CAST(LEAST(63, FLOOR((lon / 360.0 + 0.5) * 64)) AS BIGINT) AS cx,
+         CAST(LEAST(63, FLOOR((0.5 - 0.25 * LN((1 + SIN(lat * PI() / 180.0)) / (1 - SIN(lat * PI() / 180.0))) / PI()) * 64)) AS BIGINT) AS cy,
+         value
+  FROM pts
+)
+SELECT hour_start, cx, cy, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM cells GROUP BY 1, 2, 3
+"""
+
+
+def q_raster_vector_bridge(spark, sf_dir):
+    """Raster<->vector bridge: z6 heatmap cells joined back to vector
+    'nation' bboxes (cell-center point-in-bbox, broadcast dim) -> per-nation
+    event totals. Tile key space on one side, geometry on the other."""
+    heat = q_events_tile_heatmap(spark, sf_dir)
+    z2 = 1 << _HEATMAP_Z
+    # cell center in mercator unit space -> lon/lat
+    mx = (F.col("cx") + 0.5) / z2
+    my = (F.col("cy") + 0.5) / z2
+    from .functions.projection import unproject_x_col, unproject_y_col
+
+    pts = heat.select(
+        "n_events",
+        unproject_x_col(mx).alias("plon"),
+        unproject_y_col(my).alias("plat"),
+    )
+    nk = F.col("n_nationkey")
+    boxes = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.pmod(nk * 13, F.lit(340)).cast("double") - 175.0).alias("minlon"),
+        (
+            F.pmod(nk * 13, F.lit(340)).cast("double")
+            - 175.0
+            + 12
+            + F.pmod(nk, F.lit(7)).cast("double")
+        ).alias("maxlon"),
+        (F.pmod(nk * 29, F.lit(140)).cast("double") - 72.0).alias("minlat"),
+        (
+            F.pmod(nk * 29, F.lit(140)).cast("double")
+            - 72.0
+            + 8
+            + F.pmod(nk, F.lit(5)).cast("double")
+        ).alias("maxlat"),
+    )
+    joined = pts.join(
+        F.broadcast(boxes),
+        (F.col("plon") >= F.col("minlon"))
+        & (F.col("plon") < F.col("maxlon"))
+        & (F.col("plat") >= F.col("minlat"))
+        & (F.col("plat") < F.col("maxlat")),
+    )
+    return (
+        joined.groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+SQL_RASTER_VECTOR_BRIDGE = """
+WITH pts AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+         (event_id * 7919) % 36000 / 100.0 - 180.0 AS lon,
+         (event_id * 104729) % 16000 / 100.0 - 80.0 AS lat
+  FROM events
+), cells AS (
+  SELECT hour_start,
+         CAST(LEAST(63, FLOOR((lon / 360.0 + 0.5) * 64)) AS BIGINT) AS cx,
+         CAST(LEAST(63, FLOOR((0.5 - 0.25 * LN((1 + SIN(lat * PI() / 180.0)) / (1 - SIN(lat * PI() / 180.0))) / PI()) * 64)) AS BIGINT) AS cy
+  FROM pts
+), heat AS (
+  SELECT hour_start, cx, cy, COUNT(*) AS n_events FROM cells GROUP BY 1, 2, 3
+), centers AS (
+  SELECT n_events,
+         ((cx + 0.5) / 64 - 0.5) * 360 AS plon,
+         360 * ATAN(EXP((180 - ((cy + 0.5) / 64) * 360) * PI() / 180.0)) / PI() - 90 AS plat
+  FROM heat
+), boxes AS (
+  SELECT n_nationkey,
+         (n_nationkey * 13) % 340 - 175.0 AS minlon,
+         (n_nationkey * 13) % 340 - 175.0 + 12 + (n_nationkey % 7) AS maxlon,
+         (n_nationkey * 29) % 140 - 72.0 AS minlat,
+         (n_nationkey * 29) % 140 - 72.0 + 8 + (n_nationkey % 5) AS maxlat
+  FROM nation
+)
+SELECT n_nationkey, COUNT(*) AS n_cells, SUM(n_events) AS n_events
+FROM centers JOIN boxes
+  ON plon >= minlon AND plon < maxlon AND plat >= minlat AND plat < maxlat
+GROUP BY n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bpe_token_count": q_bpe_token_count,
+    "events_tile_heatmap": q_events_tile_heatmap,
+    "raster_vector_bridge": q_raster_vector_bridge,
+}
+
+ORACLES = {
+    # minhash refine reproduces the exact jaccard query's rows (banding only
+    # prunes candidates; miss probability 2^-16 per qualifying pair, and the
+    # test corpus is fixed) — so the exact query's SQL is a valid oracle
+    "minhash_lsh_dedup": _SQL_MINHASH_ORACLE,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "events_tile_heatmap": SQL_EVENTS_TILE_HEATMAP,
+    "raster_vector_bridge": SQL_RASTER_VECTOR_BRIDGE,
+}

@@ -54,7 +54,10 @@ def compare(spark_df, duck_rel):
 def run_all(spark, sf_dir, names=None):
     import duckdb
 
-    from geojson_vt_spark.analytics import ORACLES, QUERIES
+    import __spark_entry__ as entry
+
+    QUERIES = {k: v for k, v in entry.queries().items() if k in entry.oracle_sql()}
+    ORACLES = entry.oracle_sql()
 
     con = duckdb.connect()
     for t in [

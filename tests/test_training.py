@@ -1,0 +1,169 @@
+"""Training-data pipeline operators: oracle checks (DuckDB), LSH-vs-exact
+equivalences, multimodal plumbing, streaming/batch parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_new_oracles_match_duckdb(spark):
+    from .oracle_harness import run_all
+
+    names = {
+        "minhash_lsh_dedup",
+        "lang_id",
+        "doc_fingerprint",
+        "bpe_token_count",
+        "events_tile_heatmap",
+        "raster_vector_bridge",
+        "media_decode_stats",
+    }
+    res = run_all(spark, SF, names=names)
+    assert set(res) == names
+    bad = {k: v for k, v in res.items() if not v.get("hash_match")}
+    assert not bad, bad
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    from geojson_vt_spark.analytics import q_ngram_jaccard_dedup
+    from geojson_vt_spark.training import q_minhash_lsh_dedup
+
+    exact = {tuple(r) for r in q_ngram_jaccard_dedup(spark, SF).collect()}
+    lsh = {tuple(r) for r in q_minhash_lsh_dedup(spark, SF).collect()}
+    assert exact == lsh
+    assert len(exact) > 0  # corpus actually contains near-dups
+
+
+def test_simhash_exact_recall_by_pigeonhole(spark):
+    """The 4x4-bit banding must find EVERY pair with hamming <= 3 — verify
+    against a brute-force pandas computation of the same simhashes."""
+    import pandas as pd
+
+    from geojson_vt_spark.training import q_simhash_dedup, _t
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in q_simhash_dedup(spark, SF).collect()
+    }
+
+    d = _t(spark, SF, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    pdf = tok.toPandas()
+
+    sims = {}
+    src = {}
+    for (doc, source), g in pdf.groupby(["doc_id", "source"]):
+        s = 0
+        for i in range(16):
+            contrib = sum(1 if (int(h) >> i) & 1 else -1 for h in g["h"])
+            if contrib > 0:
+                s |= 1 << i
+        sims[doc] = s
+        src[doc] = source
+    docs = sorted(sims)
+    want = {}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            if src[a] != src[b]:
+                continue
+            ham = bin(sims[a] ^ sims[b]).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+    assert len(want) > 0
+
+
+def test_ann_lsh_recall_and_shape(spark):
+    from geojson_vt_spark.analytics import q_ann_cosine_topk
+    from geojson_vt_spark.training import q_ann_cosine_topk_lsh
+
+    exact = q_ann_cosine_topk(spark, SF).orderBy("rank").collect()
+    lsh = q_ann_cosine_topk_lsh(spark, SF).orderBy("rank").collect()
+    assert [r.asDict().keys() for r in lsh[:1]] == [r.asDict().keys() for r in exact[:1]]
+    assert len(lsh) == 10
+    # multi-probe at hamming<=3 over 8 bits keeps most true neighbors
+    overlap = len({r.vec_id for r in exact} & {r.vec_id for r in lsh})
+    assert overlap >= 5
+    # every LSH hit's cosine is <= the exact best at the same rank
+    for e, l in zip(exact, lsh):
+        assert l.cos <= e.cos + 1e-9
+
+
+def test_embedding_near_dup_detects_planted_dups(spark):
+    import numpy as np
+
+    from geojson_vt_spark.training import embedding_near_dup_pairs
+
+    rng_free = [
+        [float(((i * 37 + d * 11) % 97) / 97.0 - 0.5) for d in range(64)]
+        for i in range(20)
+    ]
+    rows = [(i, v) for i, v in enumerate(rng_free)]
+    # plant: 100+i is a tiny perturbation of i for i in 0..4
+    for i in range(5):
+        v = list(rng_free[i])
+        v[0] += 1e-4
+        rows.append((100 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(df, 0.99).collect()
+    }
+    assert {(i, 100 + i) for i in range(5)} <= got
+    # no false positives among the independent vectors
+    E = np.array(rng_free)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = E @ E.T
+    np.fill_diagonal(S, 0)
+    truly_close = {(i, j) for i in range(20) for j in range(20) if i < j and S[i, j] >= 0.99}
+    indep_hits = {(a, b) for a, b in got if a < 100 and b < 100}
+    assert indep_hits == truly_close
+
+
+def test_embedding_near_dup_on_corpus_empty(spark):
+    from geojson_vt_spark.training import q_embedding_near_dup
+
+    # synthetic embeddings are independent — max pairwise cosine ~0.5
+    assert q_embedding_near_dup(spark, SF).count() == 0
+
+
+def test_media_decode_plumbing(spark):
+    from geojson_vt_spark.sources.media import decode_media, media_from_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = media_from_documents(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    decoded = decode_media(media).cache()
+    n = docs.count()
+    assert decoded.count() == n
+    img = decoded.filter(F.col("kind") == "image")
+    assert img.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
+    vid = decoded.filter(F.col("kind") == "video").collect()
+    for r in vid:
+        assert r.sampled_frames == list(range(0, r.n_frames, 5))
+    aud = decoded.filter(F.col("kind") == "audio")
+    assert aud.filter(F.col("n_samples") != F.col("n_bytes") * 4).count() == 0
+    decoded.unpersist()
+
+
+def test_streaming_heatmap_matches_batch(spark, tmp_path):
+    import shutil
+
+    from geojson_vt_spark.streaming.tile_stream import run_to_memory
+    from geojson_vt_spark.training import q_events_tile_heatmap
+
+    # file-stream sources take a directory of arriving files
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stream_dir / "part-000.parquet")
+    run_to_memory(spark, str(stream_dir), table="t_heatmap_test")
+    stream_rows = {
+        tuple(r) for r in spark.table("t_heatmap_test").collect()
+    }
+    batch_rows = {tuple(r) for r in q_events_tile_heatmap(spark, SF).collect()}
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
