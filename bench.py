@@ -120,18 +120,44 @@ def bench_joins(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def bench_analytics(spark: SparkSession, sf_dir: str) -> dict:
-    from geojson_vt_spark.analytics import QUERIES
+    import __spark_entry__ as entry
 
+    queries = entry.queries()
     picks = [
-        "ann_cosine_topk", "dedup_exact", "ngram_jaccard_dedup",
-        "leaves_pagination", "invalidation_join", "weighted_centroid",
+        "ann_cosine_topk", "ann_cosine_topk_lsh", "dedup_exact",
+        "minhash_lsh_dedup", "simhash_dedup", "leaves_pagination",
+        "invalidation_join", "weighted_centroid", "lang_id",
+        "doc_fingerprint", "events_tile_heatmap", "raster_vector_bridge",
+        "media_decode_stats",
     ]
     out = {}
     for name in picks:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def bench_cluster(spark: SparkSession, n_points: int) -> dict:
+    """O17 scale path: grid-mode supercluster over seeded synthetic points."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.cluster.grid import build_grid_trees
+    from geojson_vt_spark.config import ClusterOptions
+
+    pts = spark.range(n_points).select(
+        F.col("id").alias("idx"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000000)) / 1000000.0).alias("px"),
+        (F.pmod(F.col("id") * 2246822519 + 7, F.lit(1000000)) / 1000000.0).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    opts = ClusterOptions(max_zoom=8)
+    t0 = time.time()
+    trees = build_grid_trees(pts, opts, n_points)
+    n_rows = sum(trees[z].count() for z in (0, 4, 8))
+    dt = time.time() - t0
+    return {"sec": dt, "cluster_rows": n_rows, "cluster_rows_per_sec": n_rows / dt}
 
 
 def main() -> None:
@@ -145,13 +171,18 @@ def main() -> None:
 
     pyr = bench_pyramid(spark, n_features)
     joins = bench_joins(spark, sf_dir)
+    clus = bench_cluster(spark, max(int(1_000_000 * sf), 10_000))
     qsec = bench_analytics(spark, sf_dir)
 
-    total = round(pyr["sec"] + joins["pip_sec"] + joins["knn_sec"] + sum(qsec.values()), 3)
+    total = round(
+        pyr["sec"] + joins["pip_sec"] + joins["knn_sec"] + clus["sec"] + sum(qsec.values()),
+        3,
+    )
     queries = {
         "pyramid_z14": round(pyr["sec"], 3),
         "pip_join": round(joins["pip_sec"], 3),
         "knn_join": round(joins["knn_sec"], 3),
+        "cluster_grid": round(clus["sec"], 3),
         **qsec,
     }
     result = {
@@ -167,6 +198,7 @@ def main() -> None:
         "tiles_per_sec": round(pyr["tiles_per_sec"], 1),
         "join_rows": joins["pip_rows"] + joins["knn_rows"],
         "join_rows_per_sec": round(joins["join_rows_per_sec"], 1),
+        "cluster_rows_per_sec": round(clus["cluster_rows_per_sec"], 1),
     }
     spark.stop()
     print(json.dumps(result))

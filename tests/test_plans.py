@@ -1,0 +1,130 @@
+"""Physical-plan quality gates: the properties that make the engine viable at
+100 TB must be visible in `explain` output, not just assumed — filter/column
+pushdown into the parquet scan, broadcast joins for dim tables, whole-stage
+codegen around the Column-only queries, and no cartesian products."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def feature_table(spark, tmp_path_factory):
+    """A parquet-backed FEATURE_SCHEMA table (what the 100 TB corpus looks
+    like after O1) for scan-pushdown checks."""
+    import json
+
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.model import FEATURE_SCHEMA
+    from geojson_vt_spark.operators.engine import geojson_to_feature_rows
+
+    from .conftest import load_fixture
+
+    path = str(tmp_path_factory.mktemp("plans") / "features.parquet")
+    rows = geojson_to_feature_rows(load_fixture("us-states.json"), Options())
+    spark.createDataFrame(rows, FEATURE_SCHEMA).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_single_tile_bbox_pushdown(feature_table):
+    """O16: the tile bbox predicate must reach the parquet scan as
+    PushedFilters — the Arrow clip kernel only ever sees straddling rows."""
+    from geojson_vt_spark.operators.geojson_to_tile import tile_from_features_df
+
+    plan = _plan(tile_from_features_df(feature_table, 7, 37, 48))
+    assert "PushedFilters: [IsNotNull(maxx)" in plan
+    assert "GreaterThanOrEqual(maxx" in plan
+    # the full filter (both axes) runs before the Python kernel
+    assert plan.index("Filter") > plan.index("MapInPandas") or "minx" in plan.split("Filter", 1)[1].split("+-")[0]
+
+
+def test_pip_join_broadcasts_dim(spark):
+    """Point-in-polygon: the polygon/bbox side is a dim table and must be
+    broadcast, never shuffled or crossed."""
+    from geojson_vt_spark.analytics import q_pip_join
+
+    plan = _plan(q_pip_join(spark, "/root/testdata/sf0.001"))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_no_cartesian(spark):
+    from geojson_vt_spark.analytics import q_knn_join
+
+    plan = _plan(q_knn_join(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+
+
+def test_heatmap_partial_aggregation(spark):
+    """The heatmap must map-side combine (partial_count/sum before the
+    exchange) — at 10^12 events the shuffle carries cells, not rows."""
+    from geojson_vt_spark.training import q_events_tile_heatmap
+
+    plan = _plan(q_events_tile_heatmap(spark, "/root/testdata/sf0.001"))
+    # tree prints top-down: final agg, then the exchange, then the partial
+    # agg below it — i.e. map-side combine BEFORE the shuffle at runtime
+    assert "partial_count" in plan
+    assert "Exchange hashpartitioning" in plan
+    assert plan.index("Exchange") < plan.index("partial_count")
+
+
+def test_heatmap_whole_stage_codegen(spark):
+    from geojson_vt_spark.training import q_events_tile_heatmap
+
+    # AQE prints a placeholder until the final plan; disable it to see the
+    # codegen spans statically
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(q_events_tile_heatmap(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # '*(n)' prefixes mark WholeStageCodegen spans in the compact plan form
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "Python" not in plan  # Column-only: no Python in the plan
+
+
+def test_documents_span_filter_before_arrow(spark):
+    """O1: the geojson-kind filter must run before the Arrow boundary so
+    text/media spans never cross into Python."""
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.sources.documents import (
+        features_from_documents,
+        synthesize_documents,
+    )
+
+    docs = synthesize_documents(spark, ['{"type":"FeatureCollection","features":[]}'], n_docs=4)
+    df = features_from_documents(docs, Options())
+    opt = _optimized(df)
+    # the filter sits below the Python evaluation node in the optimized plan
+    assert opt.index("geojson") > opt.index("MapInPandas")
+
+
+def test_minhash_bands_shuffle_on_band_keys(spark):
+    """MinHash-LSH: the candidate join must be an equi-join on the band keys
+    (hash-partitioned), not a nested-loop over pairs."""
+    from geojson_vt_spark.training import q_minhash_lsh_dedup
+
+    plan = _plan(q_minhash_lsh_dedup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join keys include the band columns (equi-join; hash or
+    # broadcast by size, sort-merge at scale — all fine, nested-loop is not)
+    import re
+
+    assert re.search(r"Join \[source\S*, band", plan), plan[:2000]
+
+
+def test_ann_exact_is_single_pass(spark):
+    """Brute-force ANN: one broadcast of the query vector, no shuffle of the
+    embeddings until the final top-k."""
+    from geojson_vt_spark.analytics import q_ann_cosine_topk
+
+    plan = _plan(q_ann_cosine_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
