@@ -27,7 +27,11 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 
 def make_spark(cpus: int) -> SparkSession:
-    return (
+    # shuffle/spill/broadcast scratch on tmpfs: this sandbox's disk has high
+    # iowait under concurrent writers, which otherwise dominates local-mode
+    # timings (a real cluster has per-executor local SSDs)
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
@@ -35,8 +39,10 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .appName("geojson-vt-spark-bench")
-        .getOrCreate()
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    return b.getOrCreate()
 
 
 def synth_rect_features(spark: SparkSession, n: int, options):

@@ -47,6 +47,10 @@ j = bench.bench_joins(spark, sf_dir)
 out["joins"] = {"sec": j["pip_sec"] + j["knn_sec"], "work": j["pip_rows"] + j["knn_rows"]}
 c = bench.bench_cluster(spark, int(sys.argv[4]))
 out["cluster"] = {"sec": c["sec"], "work": c["cluster_rows"]}
+from geojson_vt_spark.training import q_minhash_lsh_dedup
+t0 = time.time()
+n = q_minhash_lsh_dedup(spark, sf_dir).count()
+out["minhash_dedup"] = {"sec": time.time() - t0, "work": n}
 print("RESULT" + json.dumps(out))
 """
 
@@ -69,8 +73,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--n-features", type=int, default=20_000)
-    ap.add_argument("--n-points", type=int, default=200_000)
+    ap.add_argument("--n-features", type=int, default=60_000)
+    ap.add_argument("--n-points", type=int, default=1_000_000)
     args = ap.parse_args()
 
     best: dict = {}

@@ -138,10 +138,11 @@ def _rewind(ring: np.ndarray, clockwise: bool) -> np.ndarray:
         return ring
     x = ring[:, 0]
     y = ring[:, 1]
-    xj = np.roll(x, 1)
-    yj = np.roll(y, 1)
-    terms = (x - xj) * (y + yj)
-    area = float(np.cumsum(terms)[-1])
+    terms = np.empty(len(x), dtype=np.float64)
+    terms[0] = (x[0] - x[-1]) * (y[0] + y[-1])
+    np.multiply(x[1:] - x[:-1], y[1:] + y[:-1], out=terms[1:])
+    # cumsum keeps strict left-to-right float order (sign parity with JS)
+    area = float(terms.cumsum()[-1])
     if (area > 0) != clockwise:
         return ring
     return ring[::-1]

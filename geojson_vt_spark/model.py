@@ -132,12 +132,18 @@ def row_to_feature(row: dict) -> dict:
         off += n
     fid = row["id"]
     tags = row["tags"]
-    return make_feature(
-        None if fid is None else json.loads(fid),
-        int(row["ftype"]),
-        rings,
-        None if tags is None else json.loads(tags),
-    )
+    # bbox comes straight from the row (computed at feature creation and
+    # carried as plain columns) — no recompute on the hot path
+    return {
+        "id": None if fid is None else json.loads(fid),
+        "type": int(row["ftype"]),
+        "rings": rings,
+        "tags": None if tags is None else json.loads(tags),
+        "minx": row["minx"],
+        "miny": row["miny"],
+        "maxx": row["maxx"],
+        "maxy": row["maxy"],
+    }
 
 
 class _JsonEncoder(json.JSONEncoder):

@@ -18,7 +18,7 @@ def load_fixture(name: str):
 def spark():
     from pyspark.sql import SparkSession
 
-    s = (
+    b = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.default.parallelism", "4")
@@ -26,8 +26,11 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "6g")
         .appName("geojson-vt-spark-tests")
-        .getOrCreate()
     )
+    if os.path.isdir("/dev/shm"):
+        # sandbox disk has high iowait; keep shuffle scratch off it
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
+    s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
