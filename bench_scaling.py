@@ -43,19 +43,55 @@ spark.range(1000000).selectExpr("sum(id)").collect()
 out = {}
 t = bench.bench_pyramid(spark, int(sys.argv[3]))
 out["pyramid"] = {"sec": t["sec"], "work": t["tile_features"]}
-j = bench.bench_joins(spark, sf_dir)
-out["joins"] = {"sec": j["pip_sec"] + j["knn_sec"], "work": j["pip_rows"] + j["knn_rows"]}
+
+# minhash over an 8x-amplified corpus (deterministic doc_id offsets) so the
+# hash+join compute dominates per-stage fixed costs
+from pyspark.sql import functions as F
+from geojson_vt_spark.training import q_minhash_lsh_dedup
+
+base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+n_docs = base.count()
+amp = None
+for i in range(8):
+    part = base.select(
+        (F.col("doc_id") + i * n_docs).alias("doc_id"),
+        "text", "lang",
+        F.concat(F.col("source"), F.lit(f"_{i}")).alias("source"),
+        "n_chars",
+    )
+    amp = part if amp is None else amp.unionByName(part)
+amp_path = "/dev/shm/bench-docs/documents.parquet"
+amp.write.mode("overwrite").parquet(amp_path)
+t0 = time.time()
+n = q_minhash_lsh_dedup(spark, "/dev/shm/bench-docs").count()
+out["minhash_dedup_8x"] = {"sec": time.time() - t0, "work": n}
+
 c = bench.bench_cluster(spark, int(sys.argv[4]))
 out["cluster"] = {"sec": c["sec"], "work": c["cluster_rows"]}
-from geojson_vt_spark.training import q_minhash_lsh_dedup
-t0 = time.time()
-n = q_minhash_lsh_dedup(spark, sf_dir).count()
-out["minhash_dedup"] = {"sec": time.time() - t0, "work": n}
 print("RESULT" + json.dumps(out))
+spark.stop()
 """
 
 
+def _no_orphan_jvms(timeout_s: int = 60) -> None:
+    import time
+
+    deadline = time.time() + timeout_s
+    while True:
+        out = subprocess.run(["pgrep", "-c", "java"], capture_output=True, text=True)
+        n = int(out.stdout.strip() or 0)
+        if n == 0:
+            return
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"{n} java process(es) still running after {timeout_s}s — "
+                "measurements would be contended; kill them first"
+            )
+        time.sleep(2)
+
+
 def run_once(cpus: int, sf_dir: str, n_feat: int, n_pts: int) -> dict:
+    _no_orphan_jvms()
     code = _WORKER % {"repo": REPO}
     proc = subprocess.run(
         [sys.executable, "-c", code, str(cpus), sf_dir, str(n_feat), str(n_pts)],
@@ -73,8 +109,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--n-features", type=int, default=60_000)
-    ap.add_argument("--n-points", type=int, default=1_000_000)
+    ap.add_argument("--n-features", type=int, default=250_000)
+    ap.add_argument("--n-points", type=int, default=4_000_000)
     args = ap.parse_args()
 
     best: dict = {}

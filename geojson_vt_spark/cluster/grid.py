@@ -98,24 +98,27 @@ def build_grid_trees(
 
         joined = binned.join(cells, ["cx", "cy"], "left")
 
-        # current level gains parent pointers (children drill-down reads them)
-        trees[z + 1] = _checkpoint(
-            joined.select(
-                "pos",
-                "vrank",
-                "x",
-                "y",
-                "qx",
-                "qy",
-                "src",
-                F.when(F.col("merged"), F.col("cid")).otherwise(F.col("parent")).alias(
-                    "parent"
-                ),
-                "num",
-                "props",
+        # current level gains parent pointers (children drill-down reads
+        # them); lazy+cached — only query surfaces read it, its lineage is
+        # one join off the checkpointed level
+        final = joined.select(
+            "pos",
+            "vrank",
+            "x",
+            "y",
+            "qx",
+            "qy",
+            "src",
+            F.when(F.col("merged"), F.col("cid")).otherwise(F.col("parent")).alias(
+                "parent"
             ),
-            workdir,
-            f"ctree_final/z={z + 1:02d}",
+            "num",
+            "props",
+        )
+        trees[z + 1] = (
+            _checkpoint(final, workdir, f"ctree_final/z={z + 1:02d}")
+            if workdir
+            else final.cache()
         )
 
         passthrough = joined.filter(~F.col("merged")).select(

@@ -454,6 +454,16 @@ def build_pyramid(
                     sub_frontier = frontier.join(
                         F.broadcast(sub_keys), ["z", "x", "y"], "leftsemi"
                     )
+                    # optional cap on concurrent subtree tasks (= python
+                    # workers with high-throughput Arrow streams). This
+                    # sandbox's guest kernel burns 45-75% system time when
+                    # ~32 Arrow streams run at once (virtualized loopback);
+                    # real clusters run ~5 streams per executor host.
+                    # repartition on the group keys satisfies the groupBy's
+                    # ClusteredDistribution, so no second shuffle happens.
+                    npart = int(os.environ.get("SPARK_GRAFT_SUBTREE_PARTITIONS", "0"))
+                    if npart > 0:
+                        sub_frontier = sub_frontier.repartition(npart, "z", "x", "y")
                     unified = sub_frontier.groupBy("z", "x", "y").applyInPandas(
                         _subtree_fn(options, target), UNIFIED_SCHEMA
                     )
