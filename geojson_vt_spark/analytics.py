@@ -202,7 +202,7 @@ added AS (
 ),
 merged AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
 SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total,
-       SUM(o_orderkey) AS key_sum
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM merged GROUP BY o_orderstatus
 """
 
@@ -236,7 +236,7 @@ WITH tiles AS (
   SELECT p_partkey AS tile_id, p_retailprice AS lo, p_retailprice + 150.0 AS hi
   FROM part WHERE p_partkey % 50 = 0
 )
-SELECT tile_id, COUNT(*) AS n_hits, SUM(l_orderkey) AS key_sum
+SELECT tile_id, COUNT(*) AS n_hits, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
 FROM lineitem JOIN tiles
   ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY tile_id
@@ -355,7 +355,7 @@ WITH pts AS (
          CAST(FLOOR(n_nationkey / 5) AS DOUBLE) * 0.2::DOUBLE + 0.15::DOUBLE AS maxy
   FROM nation
 )
-SELECT n_nationkey, COUNT(*) AS n_points, SUM(event_id) AS id_sum
+SELECT n_nationkey, COUNT(*) AS n_points, CAST(SUM(event_id) AS BIGINT) AS id_sum
 FROM pts JOIN boxes
   ON x >= minx AND x <= maxx AND y >= miny AND y <= maxy
 GROUP BY n_nationkey

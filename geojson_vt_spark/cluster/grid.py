@@ -31,13 +31,29 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import ClusterOptions
 
-_CELL_OFF = 1 << 25  # cells can be negative for antimeridian copies
+# Cells can be negative for antimeridian copies, and cx grows like
+# extent*2^z/radius (~5.4e7 at extent=512, radius=40, z=22). The packed cell
+# feeds cid = packed*32 + zoom + n_points (supercluster.js:153 id encoding),
+# so packed must stay under 2^57 for the cid to fit a signed long: a 2^27
+# offset with a 2^28 multiplier packs |cx|,|cy| < 2^27 (every max_zoom <= 23
+# at default extent/radius) into < 2^56, leaving 5 bits for the zoom slot.
+_CELL_OFF = 1 << 27
 
 
 def _packed_cell(cx, cy):
-    return (cx + F.lit(_CELL_OFF)).cast("long") * F.lit(1 << 26) + (
+    return (cx + F.lit(_CELL_OFF)).cast("long") * F.lit(1 << 28) + (
         cy + F.lit(_CELL_OFF)
     ).cast("long")
+
+
+def _validate_cell_range(options: ClusterOptions) -> None:
+    max_cx = options.extent * (2.0 ** options.max_zoom) / options.radius
+    if max_cx >= _CELL_OFF:
+        raise ValueError(
+            f"grid cluster cell ids overflow at max_zoom={options.max_zoom} "
+            f"(extent={options.extent}, radius={options.radius}): |cx| can "
+            f"reach {max_cx:.3g} >= 2^27; lower max_zoom or raise radius"
+        )
 
 
 def _checkpoint(df: DataFrame, workdir: Optional[str], name: str) -> DataFrame:
@@ -58,6 +74,7 @@ def build_grid_trees(
     """points_df: (idx long, px double, py double, id string, tags string) ->
     {zoom: tree DataFrame (index.TREE_SCHEMA columns)}."""
     o = options
+    _validate_cell_range(o)
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
 
     level = points_df.select(

@@ -149,6 +149,10 @@ class ClusterTileIndexSpark:
             pts = pts_df.select(
                 F.monotonically_increasing_id().alias("idx"), "px", "py", "id", "tags"
             )
+            # monotonically_increasing_id is nondeterministic across
+            # recomputation (AQE replans, executor loss): pin the idx values
+            # once so the trees' `src` and later src==idx joins agree.
+            pts = pts.localCheckpoint(eager=True)
             self._points_df = pts
             self.n_points = pts.count()
             self._grid_trees = build_grid_trees(pts, self.options, self.n_points)
@@ -247,15 +251,28 @@ class ClusterTileIndexSpark:
         return max(o.min_zoom, min(int(math.floor(z)), o.max_zoom + 1))
 
     def _tree_rows(self, z: int, pred) -> list:
-        """Range query: predicate pushdown + ORDER BY vrank + point join."""
+        """Range query: predicate pushdown + ORDER BY vrank + point join.
+
+        The tile/bbox predicate makes the filtered tree the SMALL side, so
+        that is what gets broadcast: first a broadcast semi-join prunes the
+        (potentially 10^9-row) points table down to the singletons inside the
+        query window, then the pruned points — now window-sized — are the
+        broadcast build side of the left join. The full points table is never
+        broadcast."""
         tree = self.tree_df(z)
         if tree is None:
             return []
+        tree_f = tree.filter(pred)
         pts = self.points_df()
+        needed = tree_f.filter(F.col("num") == 1).select(
+            F.col("src").alias("_want_idx")
+        )
+        pts_window = pts.join(
+            F.broadcast(needed), F.col("idx") == F.col("_want_idx"), "leftsemi"
+        )
         out = (
-            tree.filter(pred)
-            .join(
-                F.broadcast(pts),
+            tree_f.join(
+                F.broadcast(pts_window),
                 (F.col("src") == F.col("idx")) & (F.col("num") == 1),
                 "left",
             )

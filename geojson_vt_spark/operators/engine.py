@@ -130,17 +130,31 @@ class GeoJSONVTSpark:
         if tf is not None:
             return tf
 
-        # walk up to the nearest ancestor that retained source features
-        reg = {(r.z, r.x, r.y): r.has_source for r in self.registry().collect()}
+        # walk up to the nearest ancestor that retained source features.
+        # The ancestor chain is <= 24 keys, so the lookup is one pruned
+        # filter over the registry (isin on a packed key) — never a full
+        # registry collect (at z14 full-earth the registry is ~10^8 rows).
+        anc = []
         z0, x0, y0 = z, x, y
-        found = None
         while z0 > 0:
             z0 -= 1
             x0 >>= 1
             y0 >>= 1
-            if (z0, x0, y0) in reg:
-                found = (z0, x0, y0)
-                break
+            anc.append((z0, x0, y0))
+        packed = (
+            F.col("z").cast("long") * F.lit(1 << 50)
+            + F.col("x").cast("long") * F.lit(1 << 25)
+            + F.col("y").cast("long")
+        )
+        wanted = [(az << 50) + (ax << 25) + ay for az, ax, ay in anc]
+        reg = {
+            (r.z, r.x, r.y): r.has_source
+            for r in self.registry()
+            .filter(packed.isin(wanted))
+            .select("z", "x", "y", "has_source")
+            .collect()
+        }
+        found = next((k for k in anc if k in reg), None)
         if found is None or not reg[found]:
             return None
 
@@ -291,6 +305,8 @@ class GeoJSONVTSpark:
     # -- cluster surfaces (geojsonvt.ts:160-183) ----------------------------
 
     def get_clusters(self, bbox, zoom):
+        if self.cluster_index is None:
+            return None
         return self.cluster_index.get_clusters(bbox, zoom)
 
     def get_cluster_expansion_zoom(self, cluster_id):

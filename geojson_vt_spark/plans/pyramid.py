@@ -505,6 +505,13 @@ def build_pyramid(
             decision = None
         else:
             # ---- distributed decision path (web-scale levels) ----
+            if expected is None and expected_keys is not None:
+                # first level after leaving driver mode: the child-key list
+                # outgrew the broadcast limit but still owes registry entries
+                # for empty children (tile-index.ts:223-226) — seed `expected`
+                # from it before dropping the driver-side list.
+                expected = spark.createDataFrame(expected_keys, ["z", "x", "y"])
+                expected_keys = None
             if expected is not None:
                 stats = (
                     expected.join(stats, ["z", "x", "y"], "left")

