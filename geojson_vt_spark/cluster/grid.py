@@ -58,10 +58,12 @@ def _validate_cell_range(options: ClusterOptions) -> None:
 
 def _checkpoint(df: DataFrame, workdir: Optional[str], name: str) -> DataFrame:
     if workdir:
-        path = os.path.join(workdir, name)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.schema(df.schema).parquet(path)
+        from ..sources.table_format import resolve_format
+
+        store = resolve_format(df.sparkSession, workdir)
+        if not store.exists(name):
+            store.write(df, name)
+        return store.read(df.sparkSession, name, df.schema)
     return df.localCheckpoint(eager=True)
 
 
@@ -91,6 +93,21 @@ def build_grid_trees(
     )
     trees: dict[int, DataFrame] = {}
     trees[o.max_zoom + 1] = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
+
+    # Without a workdir the per-zoom loop used to localCheckpoint(eager)
+    # every level — 17 serialized materialization jobs whose fixed cost
+    # dominates at small per-level work (the round-1 0.64 scaling number).
+    # Levels now stay lazy+cached and lineage is truncated eagerly only
+    # every k levels: one materialization pass covers the window, per-level
+    # fixed cost amortizes k-fold, and the plan depth stays bounded.
+    ckpt_every = int(os.environ.get("SPARK_GRAFT_CLUSTER_CKPT_EVERY", "4"))
+
+    def _window_ckpt(df: DataFrame, name: str, steps_done: int) -> DataFrame:
+        if workdir:
+            return _checkpoint(df, workdir, name)
+        if steps_done % ckpt_every == 0:
+            return df.localCheckpoint(eager=True)
+        return df.cache()
 
     for z in range(o.max_zoom, o.min_zoom - 1, -1):
         r = o.radius / (o.extent * (2.0 ** z))
@@ -156,7 +173,8 @@ def build_grid_trees(
                 F.lit(None).cast("string").alias("props"),
             )
         )
-        trees[z] = _checkpoint(
-            passthrough.unionByName(clusters), workdir, f"ctree/z={z:02d}"
+        trees[z] = _window_ckpt(
+            passthrough.unionByName(clusters), f"ctree/z={z:02d}",
+            o.max_zoom - z + 1,
         )
     return trees

@@ -8,16 +8,27 @@ Spark-first design (NOT a translation of the single-threaded BFS):
 
   * one loop iteration per zoom level; the per-tile stack becomes a *frontier*
     DataFrame of (z, x, y, feature) rows;
-  * tile assembly (O13+O14) is a row-wise mapInPandas — tile-level counters are
-    SUM aggregates, so no tile ever has to fit in a single task (a z0 tile over
-    the full corpus stays distributed);
   * the stop rule (z == indexMaxZoom or numPoints <= indexMaxPoints,
-    tile-index.ts:177-179) needs only per-tile vertex-count sums: a cheap
-    partial-aggregated groupBy — the only shuffle in the level;
-  * quadrant clipping is row-wise mapInPandas; feature-level bbox trivial
-    accept/reject happens inside the kernel (equivalent to the reference's
-    batch check, see functions/clip.py);
-  * each level is checkpointed (parquet under `workdir`, or localCheckpoint)
+    tile-index.ts:177-179) needs only per-tile counts + vertex sums — and
+    numPoints == SUM(rlens), so the decision stats are a pure-JVM
+    partial-aggregated groupBy over the frontier: the decision costs NO
+    Python crossing;
+  * tile assembly (O13+O14) and the 4-way buffered quadrant clip run FUSED
+    in one whole-batch mapInPandas kernel per level (_level_fn): a single
+    Arrow crossing of the frontier emits both the level's tile rows and the
+    next frontier. Kernels are flat-numpy over the entire batch
+    (functions/flat.py) — no per-vertex or per-feature Python;
+  * counters stay SUM aggregates over per-feature rows, so no tile ever has
+    to fit in one task (a z0 tile over the full corpus stays distributed);
+  * the subtree phase routes task-sized splitting tiles (vertex count under
+    _SUBTREE_MAX_POINTS) to a one-shot applyInPandas kernel that finishes
+    the whole sub-pyramid as an in-kernel level-BFS — distributed clipping
+    while single tiles hold huge data, per-subtree parallelism afterwards;
+  * Arrow-stage parallelism defaults to defaultParallelism/4 (task-cpus
+    accounting for JVM serde + Python worker + numpy threads; see
+    arrow_parts in build_pyramid);
+  * each level is checkpointed (parquet or Iceberg via
+    sources/table_format.py under `workdir`, else localCheckpoint)
     -> per-partition lineage: a killed job resumes at the first missing level
     without recomputing finished zooms;
   * empty child tiles are registered from the split-decision table (the
@@ -32,6 +43,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -39,15 +52,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import Options
-from ..functions.clip import AXIS_X, AXIS_Y, clip_one
-from ..model import (
-    FEATURE_SCHEMA,
-    TILE_FEATURE_SCHEMA,
-    feature_to_row,
-    row_to_feature,
-    tile_feature_to_json,
-)
-from ..functions.tile import assemble_feature, transform_tile_feature
+from ..model import FEATURE_SCHEMA, TILE_FEATURE_SCHEMA
+from ..functions.tile import GEOJSONVT_CLIP_END, GEOJSONVT_CLIP_START, js_div
 
 # broadcast-join the per-level split decision back onto the frontier only while
 # the tile list is comfortably below the driver/executor broadcast limit
@@ -59,7 +65,11 @@ _BROADCAST_TILE_LIMIT = 200_000
 # only for tiles too big for a task — exactly the two-phase shape a large
 # cluster wants: distributed clipping while single tiles hold huge data,
 # per-subtree parallelism as soon as fan-out provides it.
-_SUBTREE_MAX_POINTS = 200_000
+# The cap is sized so routing waits one extra level when tiles are chunky:
+# many smaller groups hash-balance far better across the Arrow-stage
+# partitions than few large ones (64 groups over 8 partitions leaves ~2x
+# straggler skew; 256+ groups average it out).
+_SUBTREE_MAX_POINTS = 32_000
 _SUBTREE_MIN_TILES = 48
 
 
@@ -79,90 +89,224 @@ def _stop_rule(z, x, y, num_points, options: Options, target) -> bool:
     return z == options.max_zoom or z == cz or not is_anc
 
 
-def _assemble_fn(options: Options):
-    """mapInPandas kernel: frontier feature rows -> tile feature rows."""
+def _flat_from_pdf(pdf: pd.DataFrame):
+    """FEATURE_SCHEMA batch -> (Flat, z, x, y, okey, id, tags arrays)."""
+    from ..functions.flat import flat_from_cells
 
-    cols = [f.name for f in FEATURE_SCHEMA.fields]
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {f.name: [] for f in TILE_FEATURE_SCHEMA.fields}
-            for row in pdf[cols].to_dict("records"):
-                feat = row_to_feature(row)
-                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
-                tf, npts, nsimp = assemble_feature(feat, z, options)
-                out["z"].append(z)
-                out["x"].append(x)
-                out["y"].append(y)
-                out["okey"].append(row["okey"])
-                out["npoints"].append(npts)
-                out["nsimplified"].append(nsimp)
-                out["minx"].append(row["minx"])
-                out["miny"].append(row["miny"])
-                out["maxx"].append(row["maxx"])
-                out["maxy"].append(row["maxy"])
-                if tf is None:
-                    out["tf_type"].append(None)
-                    out["tf_id"].append(None)
-                    out["tf_tags"].append(None)
-                    out["tf_geom"].append(None)
-                else:
-                    tft = transform_tile_feature(tf, z, x, y, options.extent)
-                    out["tf_type"].append(tft["type"])
-                    out["tf_id"].append(row["id"])
-                    out["tf_tags"].append(
-                        None if tft["tags"] is None else json.dumps(tft["tags"])
-                    )
-                    out["tf_geom"].append(tile_feature_to_json(tft))
-            if out["z"]:
-                yield pd.DataFrame(out)
-
-    return fn
+    fl = flat_from_cells(
+        list(pdf["coords"]), list(pdf["rlens"]), list(pdf["rpoly"]),
+        list(pdf["rsize"]), list(pdf["rstart"]), list(pdf["rend"]),
+        pdf["ftype"].to_numpy(),
+        pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
+        pdf["maxx"].to_numpy(), pdf["maxy"].to_numpy(),
+    )
+    return (
+        fl,
+        pdf["z"].to_numpy().astype(np.int64),
+        pdf["x"].to_numpy().astype(np.int64),
+        pdf["y"].to_numpy().astype(np.int64),
+        pdf["okey"].to_numpy(),
+        pdf["id"].to_numpy(),
+        pdf["tags"].to_numpy(),
+    )
 
 
-def _split_fn(options: Options):
-    """mapInPandas kernel: features of splitting tiles -> child-tile features.
+def _assemble_columns(fl, z, x, y, ids, tags, options: Options):
+    """Batched assembly -> (npoints, nsimplified, tf_type/tf_id/tf_tags/
+    tf_geom object lists). One output slot per input feature."""
+    from ..functions.feature import LINESTRING
+    from ..functions.flat import assemble_flat, tile_geometry_json
 
-    Clip order matches tile-index.ts:208-219 (x bands first, then y), and the
-    okey gains (x-slice, y-slice) indexes so multi-slice lineMetrics output
-    keeps reference ordering.
-    """
+    npts, nsimp, emit = assemble_flat(fl, z, options)
+    nfe = fl.n_features
+    tf_type = [None] * nfe
+    tf_id = [None] * nfe
+    tf_tags = [None] * nfe
+    tf_geom = [None] * nfe
+    if emit is not None:
+        geoms = tile_geometry_json(
+            emit, z, x.astype(np.float64), y.astype(np.float64), options.extent
+        )
+        ttypes = emit["f_tile_type"]
+        lm = options.line_metrics
+        for i, g in geoms.items():
+            tf_geom[i] = g
+            tf_type[i] = int(ttypes[i])
+            tf_id[i] = ids[i]
+            if lm and fl.ftype[i] == LINESTRING:
+                tg = {} if tags[i] is None else json.loads(tags[i])
+                r0 = fl.foff[i]
+                tg[GEOJSONVT_CLIP_START] = js_div(
+                    float(fl.rstart[r0]), float(fl.rsize[r0])
+                )
+                tg[GEOJSONVT_CLIP_END] = js_div(
+                    float(fl.rend[r0]), float(fl.rsize[r0])
+                )
+                tf_tags[i] = json.dumps(tg)
+            else:
+                tf_tags[i] = tags[i]
+    return npts, nsimp, tf_type, tf_id, tf_tags, tf_geom
+
+
+def _split_children(fl, z, x, y, okeys, ids, tags, options: Options):
+    """Batched 4-way buffered quadrant clip (tile-index.ts:198-219).
+
+    Returns per-quadrant child bundles [(flat, z, x, y, okey, id, tags), ...]
+    — x bands first then y, okey extended with (x-slice, y-slice)."""
+    from ..functions.clip import AXIS_X as AX, AXIS_Y as AY
+    from ..functions.flat import clip_flat
+
     k1 = 0.5 * options.buffer / options.extent
     k2 = 0.5 - k1
     k3 = 0.5 + k1
     k4 = 1 + k1
-    cols = [f.name for f in FEATURE_SCHEMA.fields]
+    lm = options.line_metrics
+    z2 = np.exp2(z.astype(np.float64))
+    out = []
+    for qx in (0, 1):
+        if qx == 0:
+            sx, ex = (x - k1) / z2, (x + k3) / z2
+        else:
+            sx, ex = (x + k2) / z2, (x + k4) / z2
+        flx, srcx, jx = clip_flat(fl, sx, ex, AX, lm)
+        if flx.n_features == 0:
+            continue
+        ysrc = y[srcx]
+        z2x = z2[srcx]
+        for qy in (0, 1):
+            if qy == 0:
+                sy, ey = (ysrc - k1) / z2x, (ysrc + k3) / z2x
+            else:
+                sy, ey = (ysrc + k2) / z2x, (ysrc + k4) / z2x
+            fly, srcy, jy = clip_flat(flx, sy, ey, AY, lm)
+            if fly.n_features == 0:
+                continue
+            src0 = srcx[srcy]
+            jx_out = jx[srcy]
+            # vectorized okey append: old okeys flattened once, scattered to
+            # their shifted slots (+2 per preceding row), slice suffixes set
+            # in bulk — no per-row np.concatenate
+            src_list = list(okeys[src0])
+            n_out = len(src_list)
+            lens = np.fromiter((len(a) for a in src_list), np.int64, n_out)
+            old_flat = (
+                np.concatenate(src_list).astype(np.int64, copy=False)
+                if n_out else np.empty(0, np.int64)
+            )
+            new_off = np.empty(n_out + 1, np.int64)
+            new_off[0] = 0
+            np.cumsum(lens + 2, out=new_off[1:])
+            flat = np.empty(int(new_off[-1]), np.int64)
+            if old_flat.size:
+                flat[
+                    np.arange(old_flat.size, dtype=np.int64)
+                    + np.repeat(2 * np.arange(n_out, dtype=np.int64), lens)
+                ] = old_flat
+            flat[new_off[1:] - 2] = jx_out
+            flat[new_off[1:] - 1] = jy
+            cells_list = np.split(flat, new_off[1:-1])
+            okey_out = np.empty(n_out, dtype=object)
+            for i, c in enumerate(cells_list):
+                okey_out[i] = c
+            out.append((
+                fly,
+                z[src0] + 1,
+                x[src0] * 2 + qx,
+                y[src0] * 2 + qy,
+                okey_out,
+                ids[src0],
+                tags[src0],
+            ))
+    return out
+
+
+def _child_rows_pdf(bundle) -> pd.DataFrame:
+    """One child bundle -> FEATURE_SCHEMA pandas batch."""
+    from ..functions.flat import flat_to_cells
+
+    fly, cz, cx, cy, okey_out, ids_out, tags_out = bundle
+    cells = flat_to_cells(fly)
+    return pd.DataFrame({
+        "z": cz.astype(np.int32),
+        "x": cx.astype(np.int32),
+        "y": cy.astype(np.int32),
+        "okey": okey_out,
+        "id": ids_out,
+        "ftype": cells["ftype"],
+        "tags": tags_out,
+        "coords": cells["coords"],
+        "rlens": cells["rlens"],
+        "rpoly": cells["rpoly"],
+        "rsize": cells["rsize"],
+        "rstart": cells["rstart"],
+        "rend": cells["rend"],
+        "minx": cells["minx"],
+        "miny": cells["miny"],
+        "maxx": cells["maxx"],
+        "maxy": cells["maxy"],
+    })
+
+
+def _level_fn(options: Options):
+    """FUSED per-level kernel: one Arrow crossing does both tile assembly and
+    the 4-way split. Input: FEATURE rows + a `do_split` boolean (the driver's
+    stop-rule decision, computed JVM-side from SUM(rlens) before this kernel
+    runs). Output: UNIFIED rows — kind=1 assembled tile-feature rows for
+    EVERY input feature (tf_* null when the feature simplifies away;
+    npoints/nsimplified always set, they feed the registry aggregate), and
+    kind=0 child-feature rows for the splitting tiles (the next frontier).
+
+    Versus separate assemble + split kernels this halves the frontier's
+    Arrow transfers per level — the dominant cost once the kernels are
+    vectorized."""
+    ucols = [f.name for f in UNIFIED_SCHEMA.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for row in pdf[cols].to_dict("records"):
-                feat = row_to_feature(row)
-                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
-                okey = list(row["okey"])
-                z2 = 1 << z
-                for qx, (sx, ex) in ((0, (x - k1, x + k3)), (1, (x + k2, x + k4))):
-                    xa: list = []
-                    clip_one(feat, sx / z2, ex / z2, AXIS_X, options, xa)
-                    for jx, fx in enumerate(xa):
-                        for qy, (sy, ey) in (
-                            (0, (y - k1, y + k3)),
-                            (1, (y + k2, y + k4)),
-                        ):
-                            ya: list = []
-                            clip_one(fx, sy / z2, ey / z2, AXIS_Y, options, ya)
-                            for jy, fy in enumerate(ya):
-                                rows.append(
-                                    feature_to_row(
-                                        fy,
-                                        z + 1,
-                                        x * 2 + qx,
-                                        y * 2 + qy,
-                                        okey + [jx, jy],
-                                    )
-                                )
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            if not len(pdf):
+                continue
+            fl, z, x, y, okeys, ids, tags = _flat_from_pdf(pdf)
+            npts, nsimp, tf_type, tf_id, tf_tags, tf_geom = _assemble_columns(
+                fl, z, x, y, ids, tags, options
+            )
+            nfe = fl.n_features
+            k1 = pd.DataFrame({
+                "z": pdf["z"].to_numpy(),
+                "x": pdf["x"].to_numpy(),
+                "y": pdf["y"].to_numpy(),
+                "okey": okeys,
+                "tf_type": tf_type,
+                "tf_id": tf_id,
+                "tf_tags": tf_tags,
+                "tf_geom": tf_geom,
+                "npoints": npts,
+                "nsimplified": nsimp,
+                "minx": pdf["minx"].to_numpy(),
+                "miny": pdf["miny"].to_numpy(),
+                "maxx": pdf["maxx"].to_numpy(),
+                "maxy": pdf["maxy"].to_numpy(),
+                "kind": np.ones(nfe, np.int32),
+            })
+            for c in ucols:
+                if c not in k1.columns:
+                    k1[c] = None
+            yield k1[ucols]
+
+            sidx = np.flatnonzero(pdf["do_split"].to_numpy())
+            if sidx.size:
+                from ..functions.flat import take as _take
+
+                sub = _take(fl, sidx)
+                for bundle in _split_children(
+                    sub, z[sidx], x[sidx], y[sidx], okeys[sidx], ids[sidx],
+                    tags[sidx], options,
+                ):
+                    child = _child_rows_pdf(bundle)
+                    child["kind"] = np.zeros(len(child), np.int32)
+                    for c in ucols:
+                        if c not in child.columns:
+                            child[c] = None
+                    yield child[ucols]
 
     return fn
 
@@ -189,111 +333,217 @@ UNIFIED_SCHEMA = _unified_schema()
 
 
 def _subtree_fn(options: Options, target):
-    """applyInPandas kernel: all feature rows of ONE splitting tile ->
-    the tile's entire sub-pyramid (children assembled/registered/split
-    recursively, reference splitTile semantics, tile-index.ts:138-228)."""
-    k1 = 0.5 * options.buffer / options.extent
-    k2 = 0.5 - k1
-    k3 = 0.5 + k1
-    k4 = 1 + k1
-    cols = [f.name for f in FEATURE_SCHEMA.fields]
+    """applyInPandas kernel: all feature rows of ONE splitting tile -> the
+    tile's entire sub-pyramid (reference splitTile semantics,
+    tile-index.ts:138-228), processed as a batched BFS: each subtree level
+    assembles + 4-way-clips EVERY tile of the level at once with the
+    flat-array kernels (functions/flat.py) — no per-vertex Python."""
     ucols = [f.name for f in UNIFIED_SCHEMA.fields]
-    blank = {c: None for c in ucols}
+
+    def _obj_array(seq) -> np.ndarray:
+        a = np.empty(len(seq), dtype=object)
+        for i, v in enumerate(seq):
+            a[i] = v
+        return a
+
+    def _result_pdf(parts: list) -> pd.DataFrame:
+        """Column-wise assembly of the emission batches: per column one
+        np.concatenate (object columns where any batch lacks the field) —
+        pandas' concat machinery scans every cell for NA compatibility,
+        which dominated large subtrees; this path is O(columns) + C-level
+        copies."""
+        if not parts:
+            return pd.DataFrame({c: [] for c in ucols}, columns=ucols)
+        data = {}
+        for c in ucols:
+            segs = [cols.get(c) for cols, _ in parts]
+            obj = any(
+                s is None or (isinstance(s, np.ndarray) and s.dtype == object)
+                for s in segs
+            )
+            out = []
+            for (cols, n), s in zip(parts, segs):
+                if s is None:
+                    out.append(np.full(n, None, dtype=object))
+                elif obj and s.dtype != object:
+                    out.append(s.astype(object))
+                else:
+                    out.append(s)
+            data[c] = out[0] if len(out) == 1 else np.concatenate(out)
+        return pd.DataFrame(data, columns=ucols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = pdf[cols].to_dict("records")
-        rows.sort(key=lambda r: tuple(r["okey"]))
-        z0, x0, y0 = int(rows[0]["z"]), int(rows[0]["x"]), int(rows[0]["y"])
-        feats = [(list(r["okey"]), row_to_feature(r)) for r in rows]
-        out: list = []
+        from ..functions.flat import concat_flats, flat_to_cells, take as _take
 
-        def emit(**kw):
-            d = dict(blank)
-            d.update(kw)
-            out.append(d)
+        pdf = (
+            pdf.sort_values("okey", key=lambda s: s.map(tuple))
+            .reset_index(drop=True)
+        )
+        state = _flat_from_pdf(pdf)
+        z0, x0, y0 = int(state[1][0]), int(state[2][0]), int(state[3][0])
+        frames: list = []  # (column dict, n_rows) emission batches
+        expected: list = []
+        is_root = True
 
-        stack = [(z0, x0, y0, feats, True)]
-        while stack:
-            z, x, y, tile_feats, is_root = stack.pop()
-            if not is_root:
-                nf = len(tile_feats)
-                npts_total = 0
-                nsimp_total = 0
-                for okey, f in tile_feats:
-                    tf, npts, nsimp = assemble_feature(f, z, options)
-                    npts_total += npts
-                    nsimp_total += nsimp
-                    if tf is not None:
-                        tft = transform_tile_feature(tf, z, x, y, options.extent)
-                        emit(
-                            kind=1,
-                            z=z,
-                            x=x,
-                            y=y,
-                            okey=okey,
-                            tf_type=tft["type"],
-                            tf_id=None
-                            if f["id"] is None
-                            else json.dumps(f["id"]),
-                            tf_tags=None
-                            if tft["tags"] is None
-                            else json.dumps(tft["tags"]),
-                            tf_geom=tile_feature_to_json(tft),
-                            npoints=npts,
-                            nsimplified=nsimp,
-                            minx=f["minx"],
-                            miny=f["miny"],
-                            maxx=f["maxx"],
-                            maxy=f["maxy"],
-                        )
-                stopped = _stop_rule(z, x, y, npts_total, options, target)
-                emit(
-                    kind=3,
-                    z=z,
-                    x=x,
-                    y=y,
-                    okey=[],
-                    num_features=nf,
-                    num_points=npts_total,
-                    num_simplified=nsimp_total,
-                    has_source=bool(stopped and nf > 0),
+        while True:
+            fl, z, x, y, okeys, ids, tags = state
+            nfe = fl.n_features
+
+            if is_root:
+                split_ranges = [(0, nfe)]
+                split_keys = [(z0, x0, y0)]
+                is_root = False
+            else:
+                if nfe == 0 and not expected:
+                    break
+                # ---- group this level's features by tile ----
+                if nfe:
+                    key = x * (1 << 26) + y
+                    perm = np.argsort(key, kind="stable")
+                    fl = _take(fl, perm)
+                    z, x, y = z[perm], x[perm], y[perm]
+                    okeys, ids, tags = okeys[perm], ids[perm], tags[perm]
+                    key = key[perm]
+                    bd = np.flatnonzero(np.diff(key)) + 1
+                    tstart = np.concatenate(([0], bd))
+                    tend = np.concatenate((bd, [nfe]))
+                    pres = {
+                        (int(z[s]), int(x[s]), int(y[s])): (int(s), int(e))
+                        for s, e in zip(tstart, tend)
+                    }
+                else:
+                    pres = {}
+
+                # ---- batched assembly + kind=1 tile-feature emission ----
+                npts, nsimp, tf_type, tf_id, tf_tags, tf_geom = (
+                    _assemble_columns(fl, z, x, y, ids, tags, options)
+                    if nfe
+                    else (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                          [], [], [], [])
                 )
-                if stopped:
-                    for okey, f in tile_feats:
-                        row = feature_to_row(f, z, x, y, okey)
-                        emit(kind=2, **row)
-                    continue
-                if not tile_feats:  # empty tiles never split (tile-index.ts:193)
-                    continue
-            # 4-way buffered quadrant clip (tile-index.ts:198-219)
-            z2 = 1 << z
-            children = {(0, 0): [], (0, 1): [], (1, 0): [], (1, 1): []}
-            for okey, f in tile_feats:
-                for qx, (sx, ex) in ((0, (x - k1, x + k3)), (1, (x + k2, x + k4))):
-                    xa: list = []
-                    clip_one(f, sx / z2, ex / z2, AXIS_X, options, xa)
-                    for jx, fx in enumerate(xa):
-                        for qy, (sy, ey) in (
-                            (0, (y - k1, y + k3)),
-                            (1, (y + k2, y + k4)),
-                        ):
-                            ya: list = []
-                            clip_one(fx, sy / z2, ey / z2, AXIS_Y, options, ya)
-                            for jy, fy in enumerate(ya):
-                                children[(qx, qy)].append((okey + [jx, jy], fy))
-            for (qx, qy), cfeats in children.items():
-                stack.append((z + 1, x * 2 + qx, y * 2 + qy, cfeats, False))
+                ei = [i for i, g in enumerate(tf_geom) if g is not None]
+                if ei:
+                    frames.append(({
+                        "z": z[ei], "x": x[ei], "y": y[ei],
+                        "okey": okeys[ei],
+                        "tf_type": _obj_array([tf_type[i] for i in ei]),
+                        "tf_id": _obj_array([tf_id[i] for i in ei]),
+                        "tf_tags": _obj_array([tf_tags[i] for i in ei]),
+                        "tf_geom": _obj_array([tf_geom[i] for i in ei]),
+                        "npoints": npts[ei], "nsimplified": nsimp[ei],
+                        "minx": fl.minx[ei], "miny": fl.miny[ei],
+                        "maxx": fl.maxx[ei], "maxy": fl.maxy[ei],
+                        "kind": np.full(len(ei), 1, np.int32),
+                    }, len(ei)))
 
-        res = pd.DataFrame(out, columns=ucols)
-        for c in ("coords", "rsize", "rstart", "rend"):
-            res[c] = res[c].map(
-                lambda v: v.tolist() if hasattr(v, "tolist") else v
+                # ---- per-tile stop rule + kind=3 registry (all expected
+                # children, empty ones included — tile-index.ts:223-226) ----
+                npc = np.concatenate(([0], np.cumsum(npts)))
+                nsc = np.concatenate(([0], np.cumsum(nsimp)))
+                reg = {c: [] for c in
+                       ("z", "x", "y", "num_features", "num_points",
+                        "num_simplified", "has_source")}
+                split_ranges = []
+                split_keys = []
+                stop_ranges = []
+                for kz, kx, ky in expected:
+                    se = pres.get((kz, kx, ky))
+                    if se is None:
+                        nf, tp, ts = 0, 0, 0
+                    else:
+                        s, e = se
+                        nf = e - s
+                        tp = int(npc[e] - npc[s])
+                        ts = int(nsc[e] - nsc[s])
+                    stopped = _stop_rule(kz, kx, ky, tp, options, target)
+                    reg["z"].append(kz)
+                    reg["x"].append(kx)
+                    reg["y"].append(ky)
+                    reg["num_features"].append(nf)
+                    reg["num_points"].append(tp)
+                    reg["num_simplified"].append(ts)
+                    reg["has_source"].append(bool(stopped and nf > 0))
+                    if stopped:
+                        if nf:
+                            stop_ranges.append(se)
+                    elif nf:  # empty tiles never split (tile-index.ts:193)
+                        split_ranges.append(se)
+                        split_keys.append((kz, kx, ky))
+                n_reg = len(reg["z"])
+                if n_reg:
+                    frames.append(({
+                        "z": np.array(reg["z"], np.int64),
+                        "x": np.array(reg["x"], np.int64),
+                        "y": np.array(reg["y"], np.int64),
+                        "num_features": np.array(reg["num_features"], np.int64),
+                        "num_points": np.array(reg["num_points"], np.int64),
+                        "num_simplified": np.array(reg["num_simplified"], np.int64),
+                        "has_source": _obj_array(reg["has_source"]),
+                        "okey": _obj_array([[]] * n_reg),
+                        "kind": np.full(n_reg, 3, np.int32),
+                    }, n_reg))
+
+                # ---- kind=2 retained-source rows for stopped tiles ----
+                if stop_ranges:
+                    sidx = np.concatenate(
+                        [np.arange(s, e, dtype=np.int64) for s, e in stop_ranges]
+                    )
+                    sub = _take(fl, sidx)
+                    cells = flat_to_cells(sub)
+                    frames.append(({
+                        "z": z[sidx], "x": x[sidx], "y": y[sidx],
+                        "okey": okeys[sidx],
+                        "id": ids[sidx],
+                        "ftype": cells["ftype"],
+                        "tags": tags[sidx],
+                        "coords": _obj_array(cells["coords"]),
+                        "rlens": _obj_array(cells["rlens"]),
+                        "rpoly": _obj_array(cells["rpoly"]),
+                        "rsize": _obj_array(cells["rsize"]),
+                        "rstart": _obj_array(cells["rstart"]),
+                        "rend": _obj_array(cells["rend"]),
+                        "minx": cells["minx"], "miny": cells["miny"],
+                        "maxx": cells["maxx"], "maxy": cells["maxy"],
+                        "kind": np.full(len(sidx), 2, np.int32),
+                    }, len(sidx)))
+
+            if not split_keys:
+                break
+
+            # ---- batched 4-way split of every splitting tile at once ----
+            sidx = np.concatenate(
+                [np.arange(s, e, dtype=np.int64) for s, e in split_ranges]
             )
-        for c in ("rlens", "rpoly"):
-            res[c] = res[c].map(
-                lambda v: v.tolist() if hasattr(v, "tolist") else v
+            sub = _take(fl, sidx)
+            bundles = _split_children(
+                sub, z[sidx], x[sidx], y[sidx], okeys[sidx], ids[sidx],
+                tags[sidx], options,
             )
-        return res
+            expected = [
+                (kz + 1, kx * 2 + dx, ky * 2 + dy)
+                for kz, kx, ky in split_keys
+                for dx in (0, 1)
+                for dy in (0, 1)
+            ]
+            if bundles:
+                state = (
+                    concat_flats([b[0] for b in bundles]),
+                    np.concatenate([b[1] for b in bundles]),
+                    np.concatenate([b[2] for b in bundles]),
+                    np.concatenate([b[3] for b in bundles]),
+                    np.concatenate([b[4] for b in bundles]),
+                    np.concatenate([b[5] for b in bundles]),
+                    np.concatenate([b[6] for b in bundles]),
+                )
+            else:
+                state = (
+                    _take(fl, np.empty(0, np.int64)),
+                    np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), np.empty(0, object),
+                    np.empty(0, object), np.empty(0, object),
+                )
+
+        return _result_pdf(frames)
 
     return fn
 
@@ -343,13 +593,17 @@ class PyramidStore:
 
 
 def _checkpoint(df: DataFrame, workdir: Optional[str], name: str, resume: bool) -> DataFrame:
-    """Per-level lineage checkpoint. With a workdir each level is a parquet
-    snapshot (resumable); without, localCheckpoint truncates lineage."""
+    """Per-level lineage checkpoint. With a workdir each level is a snapshot
+    in the configured table format (parquet dir by default, Iceberg table
+    when a catalog is present — sources/table_format.py); without,
+    localCheckpoint truncates lineage."""
     if workdir:
-        path = os.path.join(workdir, name)
-        if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
-            df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.schema(df.schema).parquet(path)
+        from ..sources.table_format import resolve_format
+
+        store = resolve_format(df.sparkSession, workdir)
+        if not (resume and store.exists(name)):
+            store.write(df, name)
+        return store.read(df.sparkSession, name, df.schema)
     return df.localCheckpoint(eager=True)
 
 
@@ -396,15 +650,51 @@ def build_pyramid(
         )
         return tz == options.max_zoom or tz == cz or not is_anc
 
-    while True:
-        frontier = _checkpoint(frontier, workdir, f"frontier/z={z:02d}", resume)
+    # reference debug option (tile-index.ts:14,166-169 timing logs): >=1
+    # prints per-level phase timings on the driver
+    dbg = max(options.debug, int(os.environ.get("SPARK_GRAFT_DEBUG", "0")))
 
-        asm = frontier.mapInPandas(_assemble_fn(options), TILE_FEATURE_SCHEMA)
-        asm = _checkpoint(asm, workdir, f"tiles/z={z:02d}", resume)
-        stats = asm.groupBy("z", "x", "y").agg(
+    def _tick(label: str, t0: float) -> float:
+        if dbg:
+            print(
+                f"[pyramid z={z:02d}] {label}: {time.time() - t0:.2f}s",
+                file=sys.stderr, flush=True,
+            )
+        return time.time()
+
+    from ..model import REGISTRY_SCHEMA
+
+    # Arrow-stage parallelism: each Python-stage task occupies ~2-4 native
+    # threads (JVM Arrow serde + the Python worker + numpy), the
+    # `spark.task.cpus`-style accounting a cluster deployment expresses with
+    # a ResourceProfile. Defaulting these stages to parallelism/4 partitions
+    # keeps the host from oversubscribing — and stays below the concurrent
+    # Arrow-stream count that trips this sandbox's virtualized guest kernel
+    # (45-75% system time at ~32 streams; real executors run 4-8 streams).
+    _par = spark.sparkContext.defaultParallelism
+    arrow_parts = (
+        int(os.environ.get("SPARK_GRAFT_ARROW_PARTITIONS", "0"))
+        or int(os.environ.get("SPARK_GRAFT_SUBTREE_PARTITIONS", "0"))
+        or (_par if _par <= 8 else max(8, _par // 4))
+    )
+
+    tile_cols = [f.name for f in TILE_FEATURE_SCHEMA.fields]
+    feat_cols = [f.name for f in FEATURE_SCHEMA.fields]
+    # decision counter, computed JVM-side: total source vertices per feature
+    # equals SUM(rlens) — identical to the assembly's npoints counter
+    npts_col = F.aggregate(
+        "rlens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+    )
+
+    frontier = _checkpoint(frontier, workdir, f"frontier/z={z0:02d}", resume)
+
+    while True:
+        t0 = time.time()
+        # ---- decision stats: pure-JVM counters over the frontier (no
+        # Python crossing; the stop rule needs only counts + vertex sums) ----
+        stats = frontier.groupBy("z", "x", "y").agg(
             F.count(F.lit(1)).alias("num_features"),
-            F.sum("npoints").alias("num_points"),
-            F.sum("nsimplified").alias("num_simplified"),
+            F.sum(npts_col).alias("num_points"),
         )
 
         driver_mode = expected_keys is not None and len(expected_keys) <= _BROADCAST_TILE_LIMIT
@@ -415,25 +705,26 @@ def build_pyramid(
             # table fits the driver; one job per level instead of four.
             # Tile DATA stays distributed; only per-tile counters come back.
             got = {(r.z, r.x, r.y): r for r in stats.collect()}
-            reg_rows = []
+            t0 = _tick("stats collect (JVM counters)", t0)
+            skel_rows = []
             split_list: list = []
             stop_list: list = []
             for key in expected_keys:
                 r = got.get(key)
                 nf = r.num_features if r else 0
                 npts = r.num_points if r else 0
-                nsimp = r.num_simplified if r else 0
                 stopped = _stop_rule_py(key[0], key[1], key[2], npts)
                 if (not stopped) and nf > 0:
                     split_list.append(key)
                 else:
                     stop_list.append(key)
-                reg_rows.append(
-                    (key[0], key[1], key[2], nf, npts, nsimp, bool(stopped and nf > 0))
+                skel_rows.append(
+                    (key[0], key[1], key[2], nf, npts, bool(stopped and nf > 0))
                 )
-            from ..model import REGISTRY_SCHEMA
-
-            registry_df = spark.createDataFrame(reg_rows, REGISTRY_SCHEMA)
+            skel = spark.createDataFrame(
+                skel_rows,
+                "z int, x int, y int, num_features long, num_points long, has_source boolean",
+            )
 
             # ---- subtree phase: route task-sized splitting tiles to a
             # one-shot per-subtree kernel; keep oversized tiles in the loop
@@ -454,37 +745,28 @@ def build_pyramid(
                     sub_frontier = frontier.join(
                         F.broadcast(sub_keys), ["z", "x", "y"], "leftsemi"
                     )
-                    # optional cap on concurrent subtree tasks (= python
-                    # workers with high-throughput Arrow streams). This
-                    # sandbox's guest kernel burns 45-75% system time when
-                    # ~32 Arrow streams run at once (virtualized loopback);
-                    # real clusters run ~5 streams per executor host.
                     # repartition on the group keys satisfies the groupBy's
-                    # ClusteredDistribution, so no second shuffle happens.
-                    npart = int(os.environ.get("SPARK_GRAFT_SUBTREE_PARTITIONS", "0"))
-                    if npart > 0:
-                        sub_frontier = sub_frontier.repartition(npart, "z", "x", "y")
+                    # ClusteredDistribution (no second shuffle) while setting
+                    # the Arrow-stream concurrency (see arrow_parts above)
+                    sub_frontier = sub_frontier.repartition(
+                        arrow_parts, "z", "x", "y"
+                    )
                     unified = sub_frontier.groupBy("z", "x", "y").applyInPandas(
                         _subtree_fn(options, target), UNIFIED_SCHEMA
                     )
                     unified = _checkpoint(
                         unified, workdir, f"subtree/z={z:02d}", resume
                     )
+                    t0 = _tick(f"subtree ({len(subtree_list)} tiles)", t0)
                     store.tiles.append(
-                        unified.filter(F.col("kind") == 1).select(
-                            *[f.name for f in TILE_FEATURE_SCHEMA.fields]
-                        )
+                        unified.filter(F.col("kind") == 1).select(*tile_cols)
                     )
                     store.sources.append(
-                        unified.filter(F.col("kind") == 2).select(
-                            *[f.name for f in FEATURE_SCHEMA.fields]
-                        )
+                        unified.filter(F.col("kind") == 2).select(*feat_cols)
                     )
-                    from ..model import REGISTRY_SCHEMA as _RS
-
                     store.registry.append(
                         unified.filter(F.col("kind") == 3).select(
-                            *[f.name for f in _RS.fields]
+                            *[f.name for f in REGISTRY_SCHEMA.fields]
                         )
                     )
 
@@ -502,6 +784,7 @@ def build_pyramid(
             sources = frontier.join(
                 F.broadcast(stop_keys_df), ["z", "x", "y"], "leftsemi"
             ).cache()  # lazy — materialized only if a drill-down reads it
+            flag_keys = F.broadcast(split_keys.withColumn("do_split", F.lit(True)))
             decision = None
         else:
             # ---- distributed decision path (web-scale levels) ----
@@ -515,7 +798,7 @@ def build_pyramid(
             if expected is not None:
                 stats = (
                     expected.join(stats, ["z", "x", "y"], "left")
-                    .fillna(0, ["num_features", "num_points", "num_simplified"])
+                    .fillna(0, ["num_features", "num_points"])
                 )
             if target is None:
                 stop = (
@@ -537,13 +820,12 @@ def build_pyramid(
                 "split", (~stop) & (F.col("num_features") > 0)
             ).withColumn("stopped", stop)
             decision = decision.cache()
-            registry_df = decision.select(
+            skel = decision.select(
                 "z",
                 "x",
                 "y",
                 "num_features",
                 "num_points",
-                "num_simplified",
                 (F.col("stopped") & (F.col("num_features") > 0)).alias("has_source"),
             )
             split_keys = decision.filter("split").select("z", "x", "y")
@@ -553,11 +835,40 @@ def build_pyramid(
                 stop_keys = F.broadcast(stop_keys)
             sources = frontier.join(stop_keys, ["z", "x", "y"], "leftsemi")
             sources = _checkpoint(sources, workdir, f"sources/z={z:02d}", resume)
+            flag_keys = split_keys.withColumn("do_split", F.lit(True))
+            if n_split < _BROADCAST_TILE_LIMIT:
+                flag_keys = F.broadcast(flag_keys)
+
+        # ---- fused assemble+split: ONE Arrow crossing per level ----
+        flagged = (
+            frontier.join(flag_keys, ["z", "x", "y"], "left")
+            .fillna(False, ["do_split"])
+        )
+        if arrow_parts:
+            flagged = flagged.coalesce(arrow_parts)
+        unified = flagged.mapInPandas(_level_fn(options), UNIFIED_SCHEMA)
+        unified = _checkpoint(unified, workdir, f"unified/z={z:02d}", resume)
+        t0 = _tick("fused assemble+split ckpt", t0)
+        kind1 = unified.filter(F.col("kind") == 1)
+
+        # registry: driver/decision skeleton (num_features, num_points,
+        # has_source) + per-tile num_simplified from the assembled rows —
+        # a small lazy join, materialized only when the registry is read
+        nsimp_agg = kind1.groupBy("z", "x", "y").agg(
+            F.sum("nsimplified").alias("num_simplified")
+        )
+        registry_df = (
+            skel.join(nsimp_agg, ["z", "x", "y"], "left")
+            .fillna(0, ["num_simplified"])
+            .select(*[f.name for f in REGISTRY_SCHEMA.fields])
+        )
 
         # registry entries for this level (tiles kept forever; source retained
         # only where we stopped — tile-index.ts:174,191)
         store.registry.append(registry_df)
-        store.tiles.append(asm.filter(F.col("tf_type").isNotNull()))
+        store.tiles.append(
+            kind1.filter(F.col("tf_type").isNotNull()).select(*tile_cols)
+        )
         store.sources.append(sources)
 
         if first_level and target is not None and not register_start:
@@ -574,9 +885,7 @@ def build_pyramid(
                 decision.unpersist()
             break
 
-        sk = F.broadcast(split_keys) if n_split < _BROADCAST_TILE_LIMIT else split_keys
-        to_split = frontier.join(sk, ["z", "x", "y"], "leftsemi")
-        frontier = to_split.mapInPandas(_split_fn(options), FEATURE_SCHEMA)
+        frontier = unified.filter(F.col("kind") == 0).select(*feat_cols)
 
         # all 4 children of every split tile get a tile entry, even if empty
         # (tile-index.ts:223-226)

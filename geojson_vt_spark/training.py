@@ -239,29 +239,106 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-duplicates: same-bucket candidates (one shuffle
-    on the 8-bit hyperplane signature) -> exact cosine refine. At threshold
-    0.99 two vectors land in the same bucket unless a hyperplane slices the
-    ~8-degree cone between them; bucket-join candidates ~ n/256-sized groups
-    instead of the n^2 cross join."""
-    planes = _hyperplanes(8, 64)
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: banded multi-probe LSH + exact refine.
+
+    The n_bits hyperplane signature is split into n_bands bands; candidates
+    are pairs sharing ANY band value — one equi-join shuffle on (band, bval),
+    never an all-pairs cross join. By pigeonhole this catches every pair whose
+    signatures differ in <= n_bands-1 bits (default: Hamming <= 3). For a pair
+    at angle θ each plane splits it with p = θ/π, so the miss probability is
+    P[Ham > n_bands-1] — at cos >= 0.99 (θ <= 8.1°, p ≈ 0.045) that is
+    ~4e-4 with the 8-bit/4-band default, vs ~31% for the single-probe
+    same-bucket join this replaces. The exact cosine refine then keeps only
+    true pairs, so precision is exact; scale the signature width (n_bits) to
+    shrink candidate buckets at corpus scale (candidates ~ n²·bands/2^bits
+    per band value)."""
+    planes = _hyperplanes(n_bits, 64)
+    bits_per_band = n_bits // n_bands
+    bmask = (1 << bits_per_band) - 1
     eb = embeddings.select("vec_id", "embedding").withColumn(
         "bucket", _bucket_col(planes)
     )
-    a = eb.alias("a")
-    b = eb.alias("b")
-    cand = a.join(b, "bucket").where(F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = F.round(_cos_cols("a.embedding", "b.embedding"), 6)
+    bands = eb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("bucket"), i * bits_per_band)
+                    .bitwiseAND(F.lit(bmask))
+                    .alias("bval"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "embedding", F.col("bb.band").alias("band"),
+             F.col("bb.bval").alias("bval"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    cos = F.round(_cos_cols("ea", "eb"), 6)
     return cand.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cos.alias("cos"),
+        "vec_a", "vec_b", cos.alias("cos")
     ).where(F.col("cos") >= threshold)
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+    """Driver query: the corpus has no natural near-dups (max pairwise cosine
+    ~0.5-0.6 at every SF), so a deterministic planted-duplicate table makes
+    the check non-vacuous: each vector gets a perturbed twin (every component
+    +0.02, vec_id+1000000) at cosine ~0.987-0.991, far above the 0.9
+    threshold, while non-planted pairs stay below ~0.72. The DuckDB oracle is
+    the exact all-pairs twin over the same augmented table (the way the
+    minhash oracle gates the LSH path)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") + F.lit(0.02)).cast("float")
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(e.unionByName(planted), threshold=0.9)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (SQRT(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+          * SQRT(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+         6) AS cos
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (SQRT(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+          * SQRT(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+         6) >= 0.9
+"""
 
 
 # --------------------------------------------------------------------------
@@ -525,6 +602,10 @@ ORACLES = {
     # prunes candidates; miss probability 2^-16 per qualifying pair, and the
     # test corpus is fixed) — so the exact query's SQL is a valid oracle
     "minhash_lsh_dedup": _SQL_MINHASH_ORACLE,
+    # banded multi-probe catches every pair with signature Hamming <= 3;
+    # planted twins sit at Hamming <= 2 on this corpus (verified per SF), so
+    # the exact all-pairs twin is a valid oracle
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,

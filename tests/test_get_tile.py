@@ -29,9 +29,29 @@ def test_get_tile_us_states_drilldown(spark):
     ok, p = deep_equal(sq, SQUARE)
     assert ok, f"z9-148-192 differs at {p}"
 
+    # string coordinates are accepted (get-tile.test.ts:36 — '7','37','48')
+    tile_s = eng.get_tile("7", "37", "48")
+    ok, p = deep_equal(tile_s, load_fixture("us-states-z7-37-48.json"))
+    assert ok, f"string-coords z7-37-48 differs at {p}"
+
     assert eng.get_tile(11, 800, 400) is None
     assert eng.get_tile(-5, 123, 400) is None
     assert eng.get_tile(25, 200, 200) is None
+
+
+def test_get_tile_fractional_coords_guard(spark):
+    # get-tile.test.ts:41 — negative z with fractional x/y returns null
+    eng = GeoJSONVTSpark(spark, data=load_fixture("us-states.json"), options=Options())
+    assert eng.get_tile(-5, 123.25, 400.25) is None
+
+
+def test_get_tile_empty_index_returns_none(spark):
+    # get-tile.test.ts:15-31 — empty plain index and empty cluster index
+    empty = {"type": "FeatureCollection", "features": []}
+    eng = GeoJSONVTSpark(spark, data=empty, options=Options())
+    assert eng.get_tile(0, 0, 0) is None
+    ceng = GeoJSONVTSpark(spark, data=empty, options=Options(cluster=True))
+    assert ceng.get_tile(0, 0, 0) is None
 
 
 def test_get_tile_unbuffered_lr_edges(spark):

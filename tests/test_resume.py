@@ -57,12 +57,12 @@ def test_pyramid_resume_mid_build(spark, tmp_path):
     assert_tiles_equal(eng1.all_tiles(), golden)
     before = _snapshot_mtimes(workdir)
 
-    # wipe the deepest frontier level => that level must be recomputed
+    # wipe the deepest fused level => that level must be recomputed
     victims = sorted(
-        d for d in os.listdir(os.path.join(workdir, "frontier"))
+        d for d in os.listdir(os.path.join(workdir, "unified"))
     )[-1:]
     for v in victims:
-        shutil.rmtree(os.path.join(workdir, "frontier", v))
+        shutil.rmtree(os.path.join(workdir, "unified", v))
 
     eng2 = GeoJSONVTSpark(
         spark, data=data, options=options, workdir=workdir, resume=True
@@ -70,6 +70,7 @@ def test_pyramid_resume_mid_build(spark, tmp_path):
     assert_tiles_equal(eng2.all_tiles(), golden)
     after = _snapshot_mtimes(workdir)
     # earlier levels' files reused byte-identically (same mtime)
-    survivors = [p for p in before if "frontier" in p and victims[0] not in p]
+    survivors = [p for p in before if "unified" in p and victims[0] not in p]
+    assert survivors, "no surviving unified levels to check"
     stale = [p for p in survivors if after.get(p) != before[p]]
     assert not stale, f"finished levels recomputed: {stale[:3]}"

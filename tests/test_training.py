@@ -124,11 +124,30 @@ def test_embedding_near_dup_detects_planted_dups(spark):
     assert indep_hits == truly_close
 
 
-def test_embedding_near_dup_on_corpus_empty(spark):
+def test_embedding_near_dup_on_corpus_planted(spark):
+    """The corpus itself has no near-dups (max pairwise cosine ~0.5), so the
+    driver query plants a deterministic perturbed twin per vector; the result
+    must be EXACTLY the planted pairs — banded multi-probe recall is total on
+    this corpus (signature Hamming <= 2 <= n_bands-1) and no independent
+    pair reaches the 0.9 threshold."""
+    from pyspark.sql import functions as F
+
     from geojson_vt_spark.training import q_embedding_near_dup
 
-    # synthetic embeddings are independent — max pairwise cosine ~0.5
-    assert q_embedding_near_dup(spark, SF).count() == 0
+    got = {(r.vec_a, r.vec_b) for r in q_embedding_near_dup(spark, SF).collect()}
+    n = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .agg(F.count(F.lit(1)))
+        .collect()[0][0]
+    )
+    vec_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert got == {(v, v + 1_000_000) for v in vec_ids}
+    assert len(got) == n
 
 
 def test_media_decode_plumbing(spark):
