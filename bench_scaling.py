@@ -137,7 +137,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--n-features", type=int, default=1_000_000)
+    ap.add_argument("--n-features", type=int, default=250_000)
     ap.add_argument("--n-points", type=int, default=4_000_000)
     args = ap.parse_args()
 

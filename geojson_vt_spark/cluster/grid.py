@@ -94,13 +94,13 @@ def build_grid_trees(
     trees: dict[int, DataFrame] = {}
     trees[o.max_zoom + 1] = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
 
-    # Without a workdir the per-zoom loop used to localCheckpoint(eager)
-    # every level — 17 serialized materialization jobs whose fixed cost
-    # dominates at small per-level work (the round-1 0.64 scaling number).
-    # Levels now stay lazy+cached and lineage is truncated eagerly only
-    # every k levels: one materialization pass covers the window, per-level
-    # fixed cost amortizes k-fold, and the plan depth stays bounded.
-    ckpt_every = int(os.environ.get("SPARK_GRAFT_CLUSTER_CKPT_EVERY", "4"))
+    # Each level is localCheckpoint(eager)-ed: the level DAG is diamond-
+    # shaped (`cells` feeds both the parent-pointer join and the cluster
+    # union), so deferring materialization re-evaluates the upstream chain
+    # per reference — measured 8x SLOWER with a 4-level lazy window despite
+    # saving the per-level job latency. Eager truncation per level is the
+    # right default; the knob stays for experimentation.
+    ckpt_every = int(os.environ.get("SPARK_GRAFT_CLUSTER_CKPT_EVERY", "1"))
 
     def _window_ckpt(df: DataFrame, name: str, steps_done: int) -> DataFrame:
         if workdir:

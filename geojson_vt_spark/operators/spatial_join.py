@@ -26,11 +26,11 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 def cell_col(x, y, res: int):
     """Quadkey cell id at resolution `res` (2^res x 2^res grid over [0,1]²).
-    Clamps to the grid so buffered coords stay addressable."""
-    n = 1 << res
-    cx = F.least(F.greatest(F.floor(x * n), F.lit(0)), F.lit(n - 1)).cast("long")
-    cy = F.least(F.greatest(F.floor(y * n), F.lit(0)), F.lit(n - 1)).cast("long")
-    return (F.shiftleft(cx, res) + cy).alias("cell")
+    Clamps to the grid so buffered coords stay addressable. Thin wrapper over
+    the default scheme of the pluggable cell seam (operators/cells.py)."""
+    from .cells import QuadkeyCells
+
+    return QuadkeyCells(res).point_cell(x, y).alias("cell")
 
 
 def point_in_box_join(
@@ -39,6 +39,7 @@ def point_in_box_join(
     px: str = "x",
     py: str = "y",
     res: int = 8,
+    scheme=None,
 ) -> DataFrame:
     """points(id-ish cols, x, y) ⋈ boxes(box cols, minx, miny, maxx, maxy).
 
@@ -46,32 +47,26 @@ def point_in_box_join(
     points map to one cell, equi-join on cell (broadcast when boxes are
     small); exact refine = closed-range containment predicate. Semantics:
     minx <= x <= maxx AND miny <= y <= maxy.
-    """
-    n = 1 << res
 
-    def cell_range(lo, hi):
-        c0 = F.least(F.greatest(F.floor(lo * n), F.lit(0)), F.lit(n - 1)).cast("long")
-        c1 = F.least(F.greatest(F.floor(hi * n), F.lit(0)), F.lit(n - 1)).cast("long")
-        return c0, c1
+    `scheme` is any operators/cells.py CellScheme (default: tile-aligned
+    quadkeys at `res`; H3 where the native lib exists)."""
+    if scheme is None:
+        from .cells import QuadkeyCells
 
-    bx0, bx1 = cell_range(F.col("minx"), F.col("maxx"))
-    by0, by1 = cell_range(F.col("miny"), F.col("maxy"))
+        scheme = QuadkeyCells(res)
+
     boxes_cells = boxes.withColumn(
         "cell",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(bx0, bx1),
-                    lambda cx: F.transform(
-                        F.sequence(by0, by1),
-                        lambda cy: F.shiftleft(cx, res) + cy,
-                    ),
-                )
+            scheme.bbox_cells(
+                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
             )
         ),
     )
 
-    pts = points.withColumn("cell", cell_col(F.col(px), F.col(py), res))
+    pts = points.withColumn(
+        "cell", scheme.point_cell(F.col(px), F.col(py))
+    )
     joined = pts.join(F.broadcast(boxes_cells), "cell").where(
         (F.col(px) >= F.col("minx"))
         & (F.col(px) <= F.col("maxx"))
