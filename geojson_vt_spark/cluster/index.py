@@ -250,18 +250,18 @@ class ClusterTileIndexSpark:
         o = self.options
         return max(o.min_zoom, min(int(math.floor(z)), o.max_zoom + 1))
 
-    def _tree_rows(self, z: int, pred) -> list:
-        """Range query: predicate pushdown + ORDER BY vrank + point join.
+    def _tree_rows_df(self, z: int, pred):
+        """Range-query plan: predicate pushdown + ORDER BY vrank + point join.
 
         The tile/bbox predicate makes the filtered tree the SMALL side, so
         that is what gets broadcast: first a broadcast semi-join prunes the
         (potentially 10^9-row) points table down to the singletons inside the
         query window, then the pruned points — now window-sized — are the
         broadcast build side of the left join. The full points table is never
-        broadcast."""
+        broadcast (plan-asserted in tests/test_plans.py)."""
         tree = self.tree_df(z)
         if tree is None:
-            return []
+            return None
         tree_f = tree.filter(pred)
         pts = self.points_df()
         needed = tree_f.filter(F.col("num") == 1).select(
@@ -270,7 +270,7 @@ class ClusterTileIndexSpark:
         pts_window = pts.join(
             F.broadcast(needed), F.col("idx") == F.col("_want_idx"), "leftsemi"
         )
-        out = (
+        return (
             tree_f.join(
                 F.broadcast(pts_window),
                 (F.col("src") == F.col("idx")) & (F.col("num") == 1),
@@ -278,7 +278,10 @@ class ClusterTileIndexSpark:
             )
             .orderBy("vrank")
         )
-        return out.collect()
+
+    def _tree_rows(self, z: int, pred) -> list:
+        out = self._tree_rows_df(z, pred)
+        return [] if out is None else out.collect()
 
     def _cluster_tags(self, row) -> dict:
         base = {} if row.props is None else json.loads(row.props)

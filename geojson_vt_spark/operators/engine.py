@@ -100,6 +100,19 @@ class GeoJSONVTSpark:
     def tiles(self) -> DataFrame:
         return self.store.tiles_df()
 
+    def stats(self) -> dict:
+        """Per-zoom created-tile counters, 'z{z}' keys — the reference's
+        debug stats object (tile-index.ts:14,56-59,166-169; invalidation
+        decrements at :293-294 are reflected because invalidated tiles leave
+        the registry). One small aggregate job over the registry."""
+        rows = self.registry().groupBy("z").count().collect()
+        return {f"z{r.z}": r["count"] for r in sorted(rows, key=lambda r: r.z)}
+
+    @property
+    def total(self) -> int:
+        """Total registered tiles (tile-index.ts:9 `total` counter)."""
+        return self.registry().count()
+
     def all_tiles(self) -> dict:
         """Collect the whole pyramid keyed 'z{z}-{x}-{y}' -> [tile features]
         (the reference genTiles shape). One Spark job."""
@@ -115,6 +128,32 @@ class GeoJSONVTSpark:
             rs.sort(key=lambda r: tuple(r.okey))
             out[f"z{z}-{x}-{y}"] = [tile_feature_from_row(r.asDict()) for r in rs]
         return out
+
+    @staticmethod
+    def _ancestor_chain(z: int, x: int, y: int) -> list:
+        anc = []
+        while z > 0:
+            z -= 1
+            x >>= 1
+            y >>= 1
+            anc.append((z, x, y))
+        return anc
+
+    def _ancestor_lookup_df(self, anc: list):
+        """Pruned registry lookup for an ancestor chain (<= 24 keys): one
+        isin filter over the packed tile key, no full-registry collect
+        (plan-asserted in tests/test_plans.py)."""
+        packed = (
+            F.col("z").cast("long") * F.lit(1 << 50)
+            + F.col("x").cast("long") * F.lit(1 << 25)
+            + F.col("y").cast("long")
+        )
+        wanted = [(az << 50) + (ax << 25) + ay for az, ax, ay in anc]
+        return (
+            self.registry()
+            .filter(packed.isin(wanted))
+            .select("z", "x", "y", "has_source")
+        )
 
     def get_tile(self, z, x, y) -> Optional[list]:
         """Point lookup with lazy drill-down (tile-index.ts:82-120)."""
@@ -134,25 +173,10 @@ class GeoJSONVTSpark:
         # The ancestor chain is <= 24 keys, so the lookup is one pruned
         # filter over the registry (isin on a packed key) — never a full
         # registry collect (at z14 full-earth the registry is ~10^8 rows).
-        anc = []
-        z0, x0, y0 = z, x, y
-        while z0 > 0:
-            z0 -= 1
-            x0 >>= 1
-            y0 >>= 1
-            anc.append((z0, x0, y0))
-        packed = (
-            F.col("z").cast("long") * F.lit(1 << 50)
-            + F.col("x").cast("long") * F.lit(1 << 25)
-            + F.col("y").cast("long")
-        )
-        wanted = [(az << 50) + (ax << 25) + ay for az, ax, ay in anc]
+        anc = self._ancestor_chain(z, x, y)
         reg = {
             (r.z, r.x, r.y): r.has_source
-            for r in self.registry()
-            .filter(packed.isin(wanted))
-            .select("z", "x", "y", "has_source")
-            .collect()
+            for r in self._ancestor_lookup_df(anc).collect()
         }
         found = next((k for k in anc if k in reg), None)
         if found is None or not reg[found]:

@@ -128,3 +128,57 @@ def test_ann_exact_is_single_pass(spark):
 
     plan = _plan(q_ann_cosine_topk(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_get_tile_ancestor_lookup_is_pruned(spark):
+    """Serving path: the drill-down ancestor walk must be one isin-filtered
+    registry lookup (<= 24 keys), never a full-registry collect."""
+    import json
+
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+
+    from .conftest import load_fixture
+
+    eng = GeoJSONVTSpark(
+        spark, data=load_fixture("single-geom.json"), options=Options()
+    )
+    anc = eng._ancestor_chain(14, 3000, 5000)
+    assert len(anc) == 14
+    df = eng._ancestor_lookup_df(anc)
+    opt = _optimized(df)
+    # the packed-key IN list sits in a Filter over the registry relation
+    # (Catalyst renders large literal lists as INSET)
+    assert " INSET " in opt or " IN (" in opt, opt[:1500]
+    rows = df.collect()
+    assert len(rows) <= len(anc)
+
+
+def test_cluster_tree_rows_broadcasts_window_not_points(spark):
+    """Cluster range queries: the broadcast build sides are the FILTERED
+    tree window and the window-pruned points — the full points table is
+    never the build side, and no nested-loop join appears."""
+    import json
+
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+
+    from .conftest import load_fixture
+
+    eng = GeoJSONVTSpark(
+        spark,
+        data=load_fixture("places.json"),
+        options=Options(cluster=True),
+    )
+    idx = eng.cluster_index
+    from pyspark.sql import functions as F
+
+    df = idx._tree_rows_df(2, (F.col("qx") >= 0.2) & (F.col("qx") <= 0.8))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # two broadcast hash joins: the leftsemi points-pruning and the final
+    # left join against the pruned points
+    assert plan.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
+    ), plan[:2000]

@@ -186,3 +186,63 @@ def test_streaming_heatmap_matches_batch(spark, tmp_path):
     batch_rows = {tuple(r) for r in q_events_tile_heatmap(spark, SF).collect()}
     assert stream_rows == batch_rows
     assert len(batch_rows) > 0
+
+
+def test_streaming_stateful_dedup_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): first-seen dedup
+    keyed on content hash. The corpus is split into several files and
+    drained one file per micro-batch, so cross-batch GroupState is what
+    suppresses re-admission; result must equal the batch twin, and planted
+    cross-batch duplicates must be admitted exactly once."""
+    from geojson_vt_spark.streaming.dedup_stream import (
+        first_seen_dedup_batch,
+        run_dedup_to_memory,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # split into 3 arriving files BY doc_id range (batch order == id order,
+    # so each duplicate group's min-id doc arrives first — the property the
+    # stream/batch equality rests on); plant duplicates of early docs into
+    # the LAST batch (new doc_ids, same text -> suppressed by state)
+    n_half = docs.count() // 2
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    docs.where(F.col("doc_id") < n_half).coalesce(1).write.parquet(
+        str(stream_dir / "b0")
+    )
+    docs.where(F.col("doc_id") >= n_half).coalesce(1).write.parquet(
+        str(stream_dir / "b1")
+    )
+    dupes = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    dupes.coalesce(1).write.parquet(str(stream_dir / "b2"))
+
+    # flatten: file source watches one dir; explicit increasing mtimes pin
+    # the micro-batch order
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    flat = tmp_path / "docs_flat"
+    flat.mkdir()
+    now = time.time()
+    for i, sub in enumerate(("b0", "b1", "b2")):
+        src = _glob.glob(str(stream_dir / sub / "part-*.parquet"))[0]
+        dst = flat / f"part-{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    run_dedup_to_memory(spark, str(flat), table="t_dedup_test", max_files=1)
+    got = {tuple(r) for r in spark.table("t_dedup_test").collect()}
+
+    everything = docs.unionByName(spark.read.parquet(str(flat)).where(
+        F.col("doc_id") >= 10_000_000
+    ))
+    expect = {tuple(r) for r in first_seen_dedup_batch(everything).collect()}
+    assert got == expect
+    assert len(got) > 0
+    # no planted duplicate admitted (its original text was seen earlier)
+    assert all(doc_id < 10_000_000 for _, doc_id, _ in got)
