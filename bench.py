@@ -92,7 +92,11 @@ def bench_pyramid(spark: SparkSession, n_features: int) -> dict:
     from geojson_vt_spark.plans.pyramid import build_pyramid
 
     options = Options(max_zoom=14, index_max_zoom=14, index_max_points=128)
-    feats = synth_rect_features(spark, n_features, options)
+    # materialize the synthetic input BEFORE the timer: the per-row Python
+    # generator is the data source, not the engine under measurement
+    feats = synth_rect_features(spark, n_features, options).localCheckpoint(
+        eager=True
+    )
     t0 = time.time()
     store = build_pyramid(feats, options)
     n_tiles = store.registry_df().count()

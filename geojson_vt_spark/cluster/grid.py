@@ -109,13 +109,19 @@ def build_grid_trees(
             return df.localCheckpoint(eager=True)
         return df.cache()
 
+    tree_cols = ["pos", "vrank", "x", "y", "qx", "qy", "src", "parent", "num", "props"]
     for z in range(o.max_zoom, o.min_zoom - 1, -1):
         r = o.radius / (o.extent * (2.0 ** z))
         cur = trees[z + 1]
         binned = cur.withColumn("cx", F.floor(F.col("qx") / F.lit(r))).withColumn(
             "cy", F.floor(F.col("qy") / F.lit(r))
         )
-        # one shuffle: per-cell row count + point total (partial-agg friendly)
+        # the level's ONLY exchange: hash-place rows by cell ONCE; the cell
+        # aggregate below then needs no exchange of its own (partial+final
+        # agg over the already-clustered input) and the cells->rows join is
+        # co-partitioned on both sides. Catalyst's ReuseExchange dedupes the
+        # repartition across the union branches.
+        binned = binned.repartition("cx", "cy")
         cells = binned.groupBy("cx", "cy").agg(
             F.count(F.lit(1)).alias("cell_rows"),
             F.sum("num").alias("cell_num"),
@@ -132,10 +138,11 @@ def build_grid_trees(
 
         joined = binned.join(cells, ["cx", "cy"], "left")
 
-        # current level gains parent pointers (children drill-down reads
-        # them); lazy+cached — only query surfaces read it, its lineage is
-        # one join off the checkpointed level
-        final = joined.select(
+        # ONE materialization per level carries all three products — the
+        # parent-pointer update of level z+1, the pass-through rows, and the
+        # new cluster rows — discriminated by `rk`; the products are cheap
+        # filters over the checkpointed frame (no re-execution, no extra job)
+        rows_part = joined.select(
             "pos",
             "vrank",
             "x",
@@ -148,17 +155,10 @@ def build_grid_trees(
             ),
             "num",
             "props",
+            F.coalesce(F.col("merged"), F.lit(False)).alias("merged"),
+            F.lit(0).alias("rk"),
         )
-        trees[z + 1] = (
-            _checkpoint(final, workdir, f"ctree_final/z={z + 1:02d}")
-            if workdir
-            else final.cache()
-        )
-
-        passthrough = joined.filter(~F.col("merged")).select(
-            "pos", "vrank", "x", "y", "qx", "qy", "src", "parent", "num", "props"
-        )
-        clusters = (
+        clusters_part = (
             cells.filter("merged")
             .select(
                 _packed_cell(F.col("cx"), F.col("cy")).alias("pos"),
@@ -171,10 +171,19 @@ def build_grid_trees(
                 F.lit(-1).cast("long").alias("parent"),
                 F.col("cell_num").alias("num"),
                 F.lit(None).cast("string").alias("props"),
+                F.lit(True).alias("merged"),
+                F.lit(1).alias("rk"),
             )
         )
-        trees[z] = _window_ckpt(
-            passthrough.unionByName(clusters), f"ctree/z={z:02d}",
+        combined = _window_ckpt(
+            rows_part.unionByName(clusters_part), f"ctree/z={z:02d}",
             o.max_zoom - z + 1,
         )
+        # level z+1 with parent pointers filled in (children drill-down)
+        trees[z + 1] = combined.filter(F.col("rk") == 0).select(*tree_cols)
+        # level z frontier: non-merged rows keep their original parent (the
+        # when() above only rewrites merged rows) + the new cluster rows
+        trees[z] = combined.filter(
+            (F.col("rk") == 1) | (~F.col("merged"))
+        ).select(*tree_cols)
     return trees

@@ -592,6 +592,20 @@ class PyramidStore:
         self.sources = [self.sources_df().localCheckpoint(eager=True)]
 
 
+_CKPT_POOL = None
+
+
+def _ckpt_pool():
+    """One background thread for overlapping the subtree materialization with
+    the same level's fused pass (two Spark jobs; task slots cap concurrency)."""
+    global _CKPT_POOL
+    if _CKPT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CKPT_POOL = ThreadPoolExecutor(max_workers=1)
+    return _CKPT_POOL
+
+
 def _checkpoint(df: DataFrame, workdir: Optional[str], name: str, resume: bool) -> DataFrame:
     """Per-level lineage checkpoint. With a workdir each level is a snapshot
     in the configured table format (parquet dir by default, Iceberg table
@@ -690,6 +704,8 @@ def build_pyramid(
 
     while True:
         t0 = time.time()
+        sub_future = None
+        subtree_list = []
         # ---- decision stats: pure-JVM counters over the frontier (no
         # Python crossing; the stop rule needs only counts + vertex sums) ----
         stats = frontier.groupBy("z", "x", "y").agg(
@@ -728,7 +744,6 @@ def build_pyramid(
 
             # ---- subtree phase: route task-sized splitting tiles to a
             # one-shot per-subtree kernel; keep oversized tiles in the loop
-            subtree_list: list = []
             if split_list and (
                 target is not None or len(split_list) >= _SUBTREE_MIN_TILES
             ):
@@ -746,28 +761,28 @@ def build_pyramid(
                         F.broadcast(sub_keys), ["z", "x", "y"], "leftsemi"
                     )
                     # repartition on the group keys satisfies the groupBy's
-                    # ClusteredDistribution (no second shuffle) while setting
-                    # the Arrow-stream concurrency (see arrow_parts above)
-                    sub_frontier = sub_frontier.repartition(
-                        arrow_parts, "z", "x", "y"
+                    # ClusteredDistribution (no second shuffle). Partition
+                    # count is FINER than the task-slot cap: concurrency is
+                    # bounded by cores either way, but ~4 groups/partition
+                    # hash-balances subtree work far better than 1:1 (a
+                    # straggler partition no longer carries 2x the pyramid)
+                    sub_parts = max(
+                        arrow_parts, min(len(subtree_list), arrow_parts * 4)
                     )
-                    unified = sub_frontier.groupBy("z", "x", "y").applyInPandas(
+                    sub_frontier = sub_frontier.repartition(
+                        sub_parts, "z", "x", "y"
+                    )
+                    unified_sub = sub_frontier.groupBy("z", "x", "y").applyInPandas(
                         _subtree_fn(options, target), UNIFIED_SCHEMA
                     )
-                    unified = _checkpoint(
-                        unified, workdir, f"subtree/z={z:02d}", resume
-                    )
-                    t0 = _tick(f"subtree ({len(subtree_list)} tiles)", t0)
-                    store.tiles.append(
-                        unified.filter(F.col("kind") == 1).select(*tile_cols)
-                    )
-                    store.sources.append(
-                        unified.filter(F.col("kind") == 2).select(*feat_cols)
-                    )
-                    store.registry.append(
-                        unified.filter(F.col("kind") == 3).select(
-                            *[f.name for f in REGISTRY_SCHEMA.fields]
-                        )
+                    # materialize CONCURRENTLY with this level's fused pass:
+                    # both jobs read the (already-checkpointed) frontier, and
+                    # total in-flight tasks stay capped by the task slots, so
+                    # the scheduler interleaves instead of serializing two
+                    # barriers per level
+                    sub_name = f"subtree/z={z:02d}"
+                    sub_future = _ckpt_pool().submit(
+                        _checkpoint, unified_sub, workdir, sub_name, resume
                     )
 
             n_split = len(split_list)
@@ -849,6 +864,20 @@ def build_pyramid(
         unified = flagged.mapInPandas(_level_fn(options), UNIFIED_SCHEMA)
         unified = _checkpoint(unified, workdir, f"unified/z={z:02d}", resume)
         t0 = _tick("fused assemble+split ckpt", t0)
+        if sub_future is not None:
+            unified_sub = sub_future.result()
+            t0 = _tick(f"subtree join ({len(subtree_list)} tiles)", t0)
+            store.tiles.append(
+                unified_sub.filter(F.col("kind") == 1).select(*tile_cols)
+            )
+            store.sources.append(
+                unified_sub.filter(F.col("kind") == 2).select(*feat_cols)
+            )
+            store.registry.append(
+                unified_sub.filter(F.col("kind") == 3).select(
+                    *[f.name for f in REGISTRY_SCHEMA.fields]
+                )
+            )
         kind1 = unified.filter(F.col("kind") == 1)
 
         # registry: driver/decision skeleton (num_features, num_points,
