@@ -14,13 +14,13 @@ overhead excluded by measuring inside the session):
   * minhash: LSH dedup over an 8x-amplified corpus (JVM codegen + shuffle)
   * cluster: grid-mode per-zoom clustering (pure Column aggregation)
 
-Leg pairs per workload: the JVM-bound workloads run local[8] vs local[32].
-The Arrow-kernel pyramid reports BOTH local[2] vs local[8] and local[8] vs
-local[32]: this microVM's guest kernel burns 45-75% system time whenever a
-~32-thread JVM drives concurrent Arrow streams (BASELINE.md documents the
-probes), so the 8->32 pair measures the virtualization artifact, while the
-2->8 pair — both JVMs below the knee — measures the engine's actual
-core-scaling. Both numbers are reported; nothing is hidden.
+Every workload reports BOTH local[2] vs local[8] and local[8] vs local[32]:
+this microVM's guest kernel burns 45-75% system time under ~32-thread JVMs
+(BASELINE.md documents the probes — in degraded windows even pure-JVM work
+runs SLOWER at 32 threads than at 8), so the 8->32 pair measures the
+virtualization artifact while the 2->8 pair — both JVMs below the knee —
+measures the engine's actual core-scaling. Both numbers are reported;
+nothing is hidden.
 
 Usage: python bench_scaling.py [--sf-dir DIR] [--repeat N]
 Writes one JSON line; BASELINE.md records the table.
@@ -90,11 +90,11 @@ spark.stop()
 # workload -> (leg pairs, which cpu counts need that workload)
 PAIRS = {
     "pyramid": [(2, 8), (8, 32)],
-    "minhash_dedup_8x": [(8, 32)],
-    "cluster": [(8, 32)],
+    "minhash_dedup_8x": [(2, 8), (8, 32)],
+    "cluster": [(2, 8), (8, 32)],
 }
 WORKLOADS_BY_CPUS = {
-    2: "pyramid",
+    2: "pyramid,minhash,cluster",
     8: "pyramid,minhash,cluster",
     32: "pyramid,minhash,cluster",
 }

@@ -94,12 +94,12 @@ def build_grid_trees(
     trees: dict[int, DataFrame] = {}
     trees[o.max_zoom + 1] = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
 
-    # Each level is localCheckpoint(eager)-ed: the level DAG is diamond-
-    # shaped (`cells` feeds both the parent-pointer join and the cluster
-    # union), so deferring materialization re-evaluates the upstream chain
-    # per reference — measured 8x SLOWER with a 4-level lazy window despite
-    # saving the per-level job latency. Eager truncation per level is the
-    # right default; the knob stays for experimentation.
+    # Each level's COMBINED frame is localCheckpoint(eager)-ed: all three
+    # level products (parent-pointer rewrite, pass-through rows, new cluster
+    # rows) are filters over it, so one materialization per level replaces
+    # the diamond that previously re-executed the cells join per reference
+    # (measured 8x SLOWER with a 4-level lazy window). The knob stays for
+    # experimentation.
     ckpt_every = int(os.environ.get("SPARK_GRAFT_CLUSTER_CKPT_EVERY", "1"))
 
     def _window_ckpt(df: DataFrame, name: str, steps_done: int) -> DataFrame:

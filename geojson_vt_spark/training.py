@@ -97,17 +97,58 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
-def q_simhash_dedup(spark, sf_dir):
+# DuckDB replay of the full simhash pipeline over md5-derived bits (same
+# bits the Spark md5_16 variant uses; banding is omitted because it is
+# recall-exact — pairs(ham<=3, same source) IS the ground truth)
+_NIB = "(strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1)"
+_H16 = " + ".join(
+    f"{_NIB.format(pos=29 + j)} * {16 ** (3 - j)}" for j in range(4)
+)
+_S_COLS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16)
+)
+_SIM_EXPR = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+SQL_SIMHASH_DEDUP = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, source, {_H16} AS h FROM tok
+), agg AS (
+  SELECT doc_id, source,
+         {_S_COLS}
+  FROM hashed GROUP BY doc_id, source
+), sh AS (
+  SELECT doc_id, source, CAST({_SIM_EXPR} AS BIGINT) AS simhash FROM agg
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_simhash_dedup(spark, sf_dir, hash_fn: str = "xxhash64"):
     """16-bit simhash per document; near-dup pairs = same source, Hamming
     distance <= 3. Candidates via 4 bands of 4 bits (pigeonhole: ham <= 3
     over 4 bands forces >= 1 identical band, so recall is EXACTLY 1 —
-    banding here is a pure shuffle-reduction, not an approximation)."""
+    banding here is a pure shuffle-reduction, not an approximation).
+
+    hash_fn picks the per-token bit source: "xxhash64" (default; fastest,
+    pure JVM) or "md5_16" (low 16 bits of md5's hex — bit-identical across
+    engines, so the DuckDB oracle can replay the whole pipeline; recall
+    exactness is hash-agnostic)."""
     d = _t(spark, sf_dir, "documents")
+    if hash_fn == "md5_16":
+        h = F.conv(F.substring(F.md5(F.col("t")), 29, 4), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("t")
     tok = d.select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h)
     contribs = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -585,9 +626,15 @@ GROUP BY n_nationkey
 
 # --------------------------------------------------------------------------
 
+def _q_simhash_dedup_md5(spark, sf_dir):
+    return q_simhash_dedup(spark, sf_dir, hash_fn="md5_16")
+
+
 QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
-    "simhash_dedup": q_simhash_dedup,
+    # driver-facing entry uses the engine-portable md5_16 bits so the DuckDB
+    # oracle can replay the pipeline; the library default stays xxhash64
+    "simhash_dedup": _q_simhash_dedup_md5,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
@@ -602,6 +649,9 @@ ORACLES = {
     # prunes candidates; miss probability 2^-16 per qualifying pair, and the
     # test corpus is fixed) — so the exact query's SQL is a valid oracle
     "minhash_lsh_dedup": _SQL_MINHASH_ORACLE,
+    # full-pipeline replay over the same md5-derived bits (banding omitted:
+    # recall-exact by pigeonhole, so ham<=3 pairs are the ground truth)
+    "simhash_dedup": SQL_SIMHASH_DEDUP,
     # banded multi-probe catches every pair with signature Hamming <= 3;
     # planted twins sit at Hamming <= 2 on this corpus (verified per SF), so
     # the exact all-pairs twin is a valid oracle
