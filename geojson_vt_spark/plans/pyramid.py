@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import Options
 from ..model import FEATURE_SCHEMA, TILE_FEATURE_SCHEMA
+from .balance import balanced_gid_mapping
 from ..functions.tile import GEOJSONVT_CLIP_END, GEOJSONVT_CLIP_START, js_div
 
 # broadcast-join the per-level split decision back onto the frontier only while
@@ -756,23 +757,34 @@ def build_pyramid(
                 if subtree_list:
                     sub_set = set(subtree_list)
                     split_list = [k for k in split_list if k not in sub_set]
-                    sub_keys = spark.createDataFrame(subtree_list, ["z", "x", "y"])
-                    sub_frontier = frontier.join(
-                        F.broadcast(sub_keys), ["z", "x", "y"], "leftsemi"
-                    )
-                    # repartition on the group keys satisfies the groupBy's
-                    # ClusteredDistribution (no second shuffle). Partition
-                    # count is FINER than the task-slot cap: concurrency is
-                    # bounded by cores either way, but ~4 groups/partition
-                    # hash-balances subtree work far better than 1:1 (a
-                    # straggler partition no longer carries 2x the pyramid)
+                    # Explicit skew handling (the north rule's "salting for
+                    # hot tiles"): hash placement of whole-subtree groups is
+                    # a lottery — a partition that draws several heavy
+                    # subtrees serializes the level. The driver knows every
+                    # subtree's vertex count from the decision stats, so
+                    # LPT-pack them into near-equal bins and mint synthetic
+                    # group ids whose Murmur3 hash pins each bin to its own
+                    # partition (plans/balance.py). repartition on the gid
+                    # satisfies the groupBy's ClusteredDistribution, so the
+                    # balanced shuffle is the ONLY shuffle.
                     sub_parts = max(
                         arrow_parts, min(len(subtree_list), arrow_parts * 4)
                     )
-                    sub_frontier = sub_frontier.repartition(
-                        sub_parts, "z", "x", "y"
+                    sub_weights = [
+                        max(1, int(got[k].num_points)) for k in subtree_list
+                    ]
+                    gid_map = balanced_gid_mapping(
+                        subtree_list, sub_weights, sub_parts
                     )
-                    unified_sub = sub_frontier.groupBy("z", "x", "y").applyInPandas(
+                    map_df = spark.createDataFrame(
+                        [(k[0], k[1], k[2], gid_map[k]) for k in subtree_list],
+                        "z int, x int, y int, gid long",
+                    )
+                    sub_frontier = frontier.join(
+                        F.broadcast(map_df), ["z", "x", "y"], "inner"
+                    )
+                    sub_frontier = sub_frontier.repartition(sub_parts, "gid")
+                    unified_sub = sub_frontier.groupBy("gid").applyInPandas(
                         _subtree_fn(options, target), UNIFIED_SCHEMA
                     )
                     # materialize CONCURRENTLY with this level's fused pass:
