@@ -14,13 +14,23 @@ overhead excluded by measuring inside the session):
   * minhash: LSH dedup over an 8x-amplified corpus (JVM codegen + shuffle)
   * cluster: grid-mode per-zoom clustering (pure Column aggregation)
 
-Every workload reports BOTH local[2] vs local[8] and local[8] vs local[32]:
-this microVM's guest kernel burns 45-75% system time under ~32-thread JVMs
-(BASELINE.md documents the probes — in degraded windows even pure-JVM work
-runs SLOWER at 32 threads than at 8), so the 8->32 pair measures the
-virtualization artifact while the 2->8 pair — both JVMs below the knee —
-measures the engine's actual core-scaling. Both numbers are reported;
-nothing is hidden.
+Every workload reports the pairs local[1]->local[4], local[2]->local[8] and
+local[8]->local[32] (minhash skips the 1-core leg — a one-core shuffle job
+there adds an hour per rep for no extra signal). Host-ceiling context,
+measured by pure probes (BASELINE.md): a multi-process numpy triad scales
+1->4 at efficiency ~1.0 but is FLAT 4->8 (memory bandwidth saturates at ~4
+concurrent streams), a pure-python ALU loop scales 0.91 through 8 procs,
+and ~32-thread JVMs burn 45-75% guest system time. So the 1->4 pair — fully
+below every host knee — is the cleanest engine-scaling signal; 2->8 mixes
+in the bandwidth ceiling; 8->32 measures the virtualization artifact. All
+are reported; nothing is hidden.
+
+Methodology: fresh JVM per leg, paired legs run back-to-back so both see
+the same host window (this VM's wall-clock for identical jobs varies 2-7x),
+minima over --repeat reps per leg. The cluster workload additionally wants
+a floor-amortized size (--n-points 48000000): its ~2.4 s/level fixed job
+latency (9 sequential levels) is size-independent and vanishes at corpus
+scale, so small inputs understate the engine's scaling.
 
 Usage: python bench_scaling.py [--sf-dir DIR] [--repeat N]
 Writes one JSON line; BASELINE.md records the table.
@@ -89,11 +99,13 @@ spark.stop()
 
 # workload -> (leg pairs, which cpu counts need that workload)
 PAIRS = {
-    "pyramid": [(2, 8), (8, 32)],
+    "pyramid": [(1, 4), (2, 8), (8, 32)],
     "minhash_dedup_8x": [(2, 8), (8, 32)],
-    "cluster": [(2, 8), (8, 32)],
+    "cluster": [(1, 4), (2, 8), (8, 32)],
 }
 WORKLOADS_BY_CPUS = {
+    1: "pyramid,cluster",
+    4: "pyramid,cluster",
     2: "pyramid,minhash,cluster",
     8: "pyramid,minhash,cluster",
     32: "pyramid,minhash,cluster",
@@ -142,8 +154,10 @@ def main() -> None:
     args = ap.parse_args()
 
     best: dict = {}
-    for cpus in (2, 8, 32):
-        for _ in range(args.repeat):
+    # paired legs adjacent in time (4 then 1, 8 then 2) so each pair sees
+    # the same host window; reps outermost so minima span windows
+    for _ in range(args.repeat):
+        for cpus in (4, 1, 8, 2, 32):
             r = run_once(cpus, args.sf_dir, args.n_features, args.n_points)
             for k, v in r.items():
                 cur = best.setdefault(k, {}).get(cpus)
