@@ -280,6 +280,46 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+SQL_ANN_COSINE_TOPK_LSH = """
+WITH planes AS (
+  SELECT p, list(w ORDER BY d) AS wvec FROM (
+    SELECT ps.p AS p, ds.d AS d,
+           ((((ps.p * 64 + ds.d) * 2654435761 + 2654435769) % 4294967296)
+            / 4294967296.0) * 2.0 - 1.0 AS w
+    FROM generate_series(0, 7) AS ps(p), generate_series(0, 63) AS ds(d)
+  ) GROUP BY p
+),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN
+           list_reduce(list_transform(list_zip(e.embedding, pl.wvec),
+                       q -> CAST(q[1] AS DOUBLE) * q[2]), (x, y) -> x + y) > 0
+           THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT bucket AS qbucket FROM sigs WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_reduce(list_transform(list_zip(e.embedding, qv.qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(qv.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+           6) AS cos
+  FROM embeddings e
+  JOIN sigs s ON e.vec_id = s.vec_id, qv, qb
+  WHERE e.vec_id <> 0 AND bit_count(xor(s.bucket, qb.qbucket)) <= 3
+)
+SELECT vec_id, cos, rank FROM (
+  SELECT vec_id, cos,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM d
+) WHERE rank <= 10
+"""
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 8,
     n_bands: int = 4,
@@ -656,6 +696,11 @@ ORACLES = {
     # planted twins sit at Hamming <= 2 on this corpus (verified per SF), so
     # the exact all-pairs twin is a valid oracle
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # full-pipeline replay: the plane weights are exact int64 arithmetic
+    # ((p*64+d)*2654435761 + 0x9E3779B9 mod 2^32 — identical in DuckDB's
+    # BIGINT and Python's ints), bucket bits compare the SAME ordered fold
+    # both engines run, and the refine reuses the proven exact-ANN fold
+    "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
