@@ -67,6 +67,36 @@ def _checkpoint(df: DataFrame, workdir: Optional[str], name: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _widen(df: DataFrame, n_points: int) -> DataFrame:
+    """Narrow level frame (x,y,src,parent,num) -> index.TREE_SCHEMA columns.
+
+    Every dropped column is a pure function of the stored ones in grid mode,
+    so reconstruction is lazy Column math over the checkpoint (no extra job):
+      * pos/vrank: original points carry src=idx=pos; clusters carry
+        src = packed*32 + (zorig + n_points) (supercluster.js:153 encoding),
+        so packed = (src - n_points) >> 5 exactly (zorig < 32);
+      * qx/qy are the JS-fround quantizations of x/y (f32∘f32 = f32);
+      * props is always NULL in grid mode (tags join in at query time).
+    """
+    f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
+    is_pt = F.col("src") < F.lit(n_points)
+    pos = F.when(is_pt, F.col("src")).otherwise(
+        F.shiftright(F.col("src") - F.lit(n_points), 5)
+    )
+    return df.select(
+        pos.alias("pos"),
+        pos.alias("vrank"),
+        "x",
+        "y",
+        f32(F.col("x")).alias("qx"),
+        f32(F.col("y")).alias("qy"),
+        "src",
+        "parent",
+        "num",
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
 def build_grid_trees(
     points_df: DataFrame,
     options: ClusterOptions,
@@ -74,25 +104,28 @@ def build_grid_trees(
     workdir: Optional[str] = None,
 ) -> dict[int, DataFrame]:
     """points_df: (idx long, px double, py double, id string, tags string) ->
-    {zoom: tree DataFrame (index.TREE_SCHEMA columns)}."""
+    {zoom: tree DataFrame (index.TREE_SCHEMA columns)}.
+
+    The level loop shuffles and checkpoints a NARROW frame — (x, y, src,
+    parent, num) plus the merged/rk discriminators — about half the bytes of
+    the full tree schema; `_widen` reconstructs the derived columns lazily
+    at the dict boundary. In a bandwidth-bound loop (one hash exchange + one
+    materialization per level) the byte cut is wall-clock and scaling, not
+    cosmetics."""
     o = options
     _validate_cell_range(o)
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
 
     level = points_df.select(
-        F.col("idx").alias("pos"),
-        F.col("idx").alias("vrank"),
         f32(F.col("px")).alias("x"),
         f32(F.col("py")).alias("y"),
-        f32(F.col("px")).alias("qx"),
-        f32(F.col("py")).alias("qy"),
         F.col("idx").alias("src"),
         F.lit(-1).cast("long").alias("parent"),
         F.lit(1).cast("long").alias("num"),
-        F.lit(None).cast("string").alias("props"),
     )
     trees: dict[int, DataFrame] = {}
-    trees[o.max_zoom + 1] = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
+    frontier = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
+    trees[o.max_zoom + 1] = _widen(frontier, n_points)
 
     # Each level's COMBINED frame is localCheckpoint(eager)-ed: all three
     # level products (parent-pointer rewrite, pass-through rows, new cluster
@@ -109,13 +142,15 @@ def build_grid_trees(
             return df.localCheckpoint(eager=True)
         return df.cache()
 
-    tree_cols = ["pos", "vrank", "x", "y", "qx", "qy", "src", "parent", "num", "props"]
+    narrow_cols = ["x", "y", "src", "parent", "num"]
     for z in range(o.max_zoom, o.min_zoom - 1, -1):
         r = o.radius / (o.extent * (2.0 ** z))
-        cur = trees[z + 1]
-        binned = cur.withColumn("cx", F.floor(F.col("qx") / F.lit(r))).withColumn(
-            "cy", F.floor(F.col("qy") / F.lit(r))
-        )
+        cur = frontier
+        # bin on the JS-fround quantization of the row coordinate (qx in the
+        # wide schema) — recomputed lazily, identical float math
+        binned = cur.withColumn(
+            "cx", F.floor(f32(F.col("x")) / F.lit(r))
+        ).withColumn("cy", F.floor(f32(F.col("y")) / F.lit(r)))
         # the level's ONLY exchange: hash-place rows by cell ONCE; the cell
         # aggregate below then needs no exchange of its own (partial+final
         # agg over the already-clustered input) and the cells->rows join is
@@ -143,34 +178,24 @@ def build_grid_trees(
         # new cluster rows — discriminated by `rk`; the products are cheap
         # filters over the checkpointed frame (no re-execution, no extra job)
         rows_part = joined.select(
-            "pos",
-            "vrank",
             "x",
             "y",
-            "qx",
-            "qy",
             "src",
             F.when(F.col("merged"), F.col("cid")).otherwise(F.col("parent")).alias(
                 "parent"
             ),
             "num",
-            "props",
             F.coalesce(F.col("merged"), F.lit(False)).alias("merged"),
             F.lit(0).alias("rk"),
         )
         clusters_part = (
             cells.filter("merged")
             .select(
-                _packed_cell(F.col("cx"), F.col("cy")).alias("pos"),
-                _packed_cell(F.col("cx"), F.col("cy")).alias("vrank"),
                 F.col("wx").alias("x"),
                 F.col("wy").alias("y"),
-                f32(F.col("wx")).alias("qx"),
-                f32(F.col("wy")).alias("qy"),
                 F.col("cid").alias("src"),
                 F.lit(-1).cast("long").alias("parent"),
                 F.col("cell_num").alias("num"),
-                F.lit(None).cast("string").alias("props"),
                 F.lit(True).alias("merged"),
                 F.lit(1).alias("rk"),
             )
@@ -180,10 +205,13 @@ def build_grid_trees(
             o.max_zoom - z + 1,
         )
         # level z+1 with parent pointers filled in (children drill-down)
-        trees[z + 1] = combined.filter(F.col("rk") == 0).select(*tree_cols)
+        trees[z + 1] = _widen(
+            combined.filter(F.col("rk") == 0).select(*narrow_cols), n_points
+        )
         # level z frontier: non-merged rows keep their original parent (the
         # when() above only rewrites merged rows) + the new cluster rows
-        trees[z] = combined.filter(
+        frontier = combined.filter(
             (F.col("rk") == 1) | (~F.col("merged"))
-        ).select(*tree_cols)
+        ).select(*narrow_cols)
+        trees[z] = _widen(frontier, n_points)
     return trees
