@@ -106,12 +106,19 @@ def build_grid_trees(
     """points_df: (idx long, px double, py double, id string, tags string) ->
     {zoom: tree DataFrame (index.TREE_SCHEMA columns)}.
 
-    The level loop shuffles and checkpoints a NARROW frame — (x, y, src,
-    parent, num) plus the merged/rk discriminators — about half the bytes of
-    the full tree schema; `_widen` reconstructs the derived columns lazily
-    at the dict boundary. In a bandwidth-bound loop (one hash exchange + one
-    materialization per level) the byte cut is wall-clock and scaling, not
-    cosmetics."""
+    Two level engines (env ``SPARK_GRAFT_CLUSTER_LEVEL_MODE``):
+
+    * ``batched`` (default) — ``_batched_levels``: one exchange + one
+      materialization per GROUP of levels (anchor-cell partitioning + a
+      partition-local numpy kernel), cutting the loop's serial shuffle
+      count by the batch factor;
+    * ``column`` — ``_column_levels``: the pure-Column per-level loop
+      (one hash exchange + one checkpoint per zoom).
+
+    Both shuffle and checkpoint a NARROW frame — (x, y, src, parent, num) —
+    about half the bytes of the full tree schema; `_widen` reconstructs the
+    derived columns lazily at the dict boundary. In a bandwidth-bound loop
+    the byte cut is wall-clock and scaling, not cosmetics."""
     o = options
     _validate_cell_range(o)
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
@@ -126,6 +133,24 @@ def build_grid_trees(
     trees: dict[int, DataFrame] = {}
     frontier = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
     trees[o.max_zoom + 1] = _widen(frontier, n_points)
+
+    mode = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE", "batched")
+    if mode == "batched":
+        _batched_levels(frontier, trees, o, n_points, workdir)
+    else:
+        _column_levels(frontier, trees, o, n_points, workdir)
+    return trees
+
+
+def _column_levels(
+    frontier: DataFrame,
+    trees: dict[int, DataFrame],
+    o: ClusterOptions,
+    n_points: int,
+    workdir: Optional[str],
+) -> None:
+    """Per-level Column-only engine: one exchange + one checkpoint per zoom."""
+    f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
 
     # Each level's COMBINED frame is localCheckpoint(eager)-ed: all three
     # level products (parent-pointer rewrite, pass-through rows, new cluster
@@ -214,4 +239,140 @@ def build_grid_trees(
             (F.col("rk") == 1) | (~F.col("merged"))
         ).select(*narrow_cols)
         trees[z] = _widen(frontier, n_points)
-    return trees
+
+
+_NARROW_COLS = ["x", "y", "src", "parent", "num"]
+_BATCH_SCHEMA = (
+    "level int, fr boolean, x double, y double, src long, parent long, num long"
+)
+
+
+def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
+    """Partition-local kernel running `levels` (descending zooms) of grid
+    clustering over one anchor-partition's rows.
+
+    Safe because cells nest: floor(q/(2^m*r)) == floor(floor(q/r)/2^m), so
+    every cell of every level in the batch lies inside one anchor cell at
+    the batch's coarsest zoom, and a cluster's weighted centroid stays
+    inside the cell it merged in — no cell ever spans two partitions. (An
+    ulp-edge centroid can land on a cell boundary and split a cell into two
+    finer clusters — within grid mode's documented 'finer, never coarser'
+    contract.)"""
+    radius, extent, min_points = o.radius, o.extent, o.min_points
+
+    def kern(it):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in it]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        src = pdf["src"].to_numpy(np.int64)
+        parent = pdf["parent"].to_numpy(np.int64)
+        num = pdf["num"].to_numpy(np.int64)
+        out = []
+        for z in levels:
+            r = radius / (extent * (2.0 ** z))
+            # identical float math to the Column path: fround then bin
+            cx = np.floor(x.astype(np.float32).astype(np.float64) / r)
+            cy = np.floor(y.astype(np.float32).astype(np.float64) / r)
+            key = (cx.astype(np.int64) + _CELL_OFF) * np.int64(1 << 28) + (
+                cy.astype(np.int64) + _CELL_OFF
+            )
+            uniq, inv, counts = np.unique(
+                key, return_inverse=True, return_counts=True
+            )
+            cell_num = np.bincount(inv, weights=num.astype(np.float64)).astype(
+                np.int64
+            )
+            merged_cell = (counts > 1) & (cell_num >= min_points)
+            row_merged = merged_cell[inv]
+            cid_cell = uniq * np.int64(32) + np.int64(z + 1 + n_points)
+            # finalized level z+1: parent filled in for rows that merge
+            out.append(
+                pd.DataFrame(
+                    {
+                        "level": np.full(x.size, z + 1, np.int32),
+                        "fr": np.zeros(x.size, bool),
+                        "x": x,
+                        "y": y,
+                        "src": src,
+                        "parent": np.where(row_merged, cid_cell[inv], parent),
+                        "num": num,
+                    }
+                )
+            )
+            # next frontier: pass-through rows + new weighted-centroid clusters
+            m = merged_cell
+            wx = np.bincount(inv, weights=x * num)[m] / cell_num[m]
+            wy = np.bincount(inv, weights=y * num)[m] / cell_num[m]
+            keep = ~row_merged
+            x = np.concatenate([x[keep], wx])
+            y = np.concatenate([y[keep], wy])
+            src = np.concatenate([src[keep], cid_cell[m]])
+            parent = np.concatenate(
+                [parent[keep], np.full(int(m.sum()), -1, np.int64)]
+            )
+            num = np.concatenate([num[keep], cell_num[m]])
+        out.append(
+            pd.DataFrame(
+                {
+                    "level": np.full(x.size, levels[-1], np.int32),
+                    "fr": np.ones(x.size, bool),
+                    "x": x,
+                    "y": y,
+                    "src": src,
+                    "parent": parent,
+                    "num": num,
+                }
+            )
+        )
+        yield pd.concat(out, ignore_index=True)
+
+    return kern
+
+
+def _batched_levels(
+    frontier: DataFrame,
+    trees: dict[int, DataFrame],
+    o: ClusterOptions,
+    n_points: int,
+    workdir: Optional[str],
+) -> None:
+    """Batched engine: ONE anchor-cell exchange + ONE materialization per
+    group of `SPARK_GRAFT_CLUSTER_LEVEL_BATCH` zooms (default 3) instead of
+    per zoom — the level loop's serial shuffle count drops by the batch
+    factor, which is what a bandwidth-bound 100 TB loop actually pays for.
+
+    Skew stays bounded without AQE help: a partition's work is linear in its
+    rows, the frontier after any level is capped by that level's occupied
+    cell count, and anchor cells are far more numerous than partitions at
+    every batch (coarse anchors only ever see a collapsed frontier)."""
+    f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
+    k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "3")))
+    zs = list(range(o.max_zoom, o.min_zoom - 1, -1))
+    for i in range(0, len(zs), k):
+        batch = zs[i : i + k]
+        z_hi, z_lo = batch[0], batch[-1]
+        r_lo = o.radius / (o.extent * (2.0 ** z_lo))
+        anchored = frontier.withColumn(
+            "acx", F.floor(f32(F.col("x")) / F.lit(r_lo))
+        ).withColumn("acy", F.floor(f32(F.col("y")) / F.lit(r_lo)))
+        out = (
+            anchored.repartition("acx", "acy")
+            .drop("acx", "acy")
+            .mapInPandas(_make_level_kernel(batch, o, n_points), _BATCH_SCHEMA)
+        )
+        out = _checkpoint(out, workdir, f"ctree/zb={z_hi:02d}-{z_lo:02d}")
+        for z in batch:
+            trees[z + 1] = _widen(
+                out.filter((F.col("level") == z + 1) & (~F.col("fr"))).select(
+                    *_NARROW_COLS
+                ),
+                n_points,
+            )
+        frontier = out.filter(F.col("fr")).select(*_NARROW_COLS)
+        trees[z_lo] = _widen(frontier, n_points)

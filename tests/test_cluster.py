@@ -268,3 +268,46 @@ def test_grid_children_match_parent_counts(grid_index):
         F.col("csum").isNull() | (F.col("csum") != F.col("cnum"))
     ).count()
     assert bad == 0
+
+
+def test_grid_level_engines_equivalent(spark):
+    """The batched (anchor-partition kernel) and per-level Column engines
+    produce the same cluster structure: identical src sets and identical
+    (src -> num, parent) maps at every zoom, on a seeded synthetic corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.cluster.grid import build_grid_trees
+
+    n = 5000
+    pts = spark.range(n).select(
+        F.col("id").alias("idx"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100000)) / 100000.0).alias("px"),
+        (F.pmod(F.col("id") * 2246822519 + 7, F.lit(100000)) / 100000.0).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    ).localCheckpoint(eager=True)
+    opts = ClusterOptions(max_zoom=7)
+
+    def snap(mode):
+        old = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE")
+        os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = mode
+        try:
+            trees = build_grid_trees(pts, opts, n)
+            return {
+                z: {
+                    r["src"]: (r["num"], r["parent"])
+                    for r in trees[z].select("src", "num", "parent").collect()
+                }
+                for z in range(0, opts.max_zoom + 2)
+            }
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"]
+            else:
+                os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = old
+
+    a, b = snap("batched"), snap("column")
+    for z in a:
+        assert a[z] == b[z], f"zoom {z}: engines disagree"
