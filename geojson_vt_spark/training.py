@@ -226,7 +226,10 @@ def _bucket_col(planes: list):
         dot = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
-                F.array(*[F.lit(w) for w in plane]),
+                # single ArrayType literal: one plan node + one py4j call per
+                # plane (an F.array of 64 F.lit nodes costs ~0.5 s of driver
+                # round-trips per query and bloats analysis)
+                F.lit(plane),
                 lambda a, b: a.cast("double") * b,
             ),
             F.lit(0.0),
