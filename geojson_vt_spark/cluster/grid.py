@@ -131,14 +131,22 @@ def build_grid_trees(
         F.lit(1).cast("long").alias("num"),
     )
     trees: dict[int, DataFrame] = {}
-    frontier = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
-    trees[o.max_zoom + 1] = _widen(frontier, n_points)
-
     mode = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE", "batched")
-    if mode == "batched":
-        _batched_levels(frontier, trees, o, n_points, workdir)
+    if mode == "batched" and o.max_zoom >= o.min_zoom:
+        # no eager materialization of the raw points: the first batch's own
+        # checkpoint is the first barrier (its exchange re-shuffles the rows
+        # anyway, and batch 1 overwrites trees[max_zoom+1] with the
+        # parent-finalized frame). Callers hand in a deterministic/pinned
+        # points_df (index.py localCheckpoints it), so lazy re-read is safe.
+        trees[o.max_zoom + 1] = _widen(level, n_points)
+        _batched_levels(level, trees, o, n_points, workdir)
     else:
-        _column_levels(frontier, trees, o, n_points, workdir)
+        frontier = _checkpoint(level, workdir, f"ctree/z={o.max_zoom + 1:02d}")
+        trees[o.max_zoom + 1] = _widen(frontier, n_points)
+        if mode == "batched":
+            _batched_levels(frontier, trees, o, n_points, workdir)
+        else:
+            _column_levels(frontier, trees, o, n_points, workdir)
     return trees
 
 
