@@ -311,3 +311,46 @@ def test_grid_level_engines_equivalent(spark):
     a, b = snap("batched"), snap("column")
     for z in a:
         assert a[z] == b[z], f"zoom {z}: engines disagree"
+
+
+def test_grid_level_engines_equivalent_offset_zooms(spark):
+    """Same equivalence with min_zoom > 0 and a level count that is not a
+    multiple of the batch factor (partial final batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.cluster.grid import build_grid_trees
+
+    n = 3000
+    pts = spark.range(n).select(
+        F.col("id").alias("idx"),
+        (F.pmod(F.col("id") * 40503 + 11, F.lit(9973)) / 9973.0).alias("px"),
+        (F.pmod(F.col("id") * 65537 + 3, F.lit(9973)) / 9973.0).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    ).localCheckpoint(eager=True)
+    opts = ClusterOptions(min_zoom=2, max_zoom=6)  # 5 levels, batch k=3 -> 3+2
+
+    def snap(mode):
+        old = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE")
+        os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = mode
+        try:
+            trees = build_grid_trees(pts, opts, n)
+            return {
+                z: {
+                    r["src"]: (r["num"], r["parent"])
+                    for r in trees[z].select("src", "num", "parent").collect()
+                }
+                for z in sorted(trees)
+            }
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"]
+            else:
+                os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = old
+
+    a, b = snap("batched"), snap("column")
+    assert sorted(a) == sorted(b)
+    for z in a:
+        assert a[z] == b[z], f"zoom {z}: engines disagree"
