@@ -182,3 +182,50 @@ def test_cluster_tree_rows_broadcasts_window_not_points(spark):
     assert plan.count("BroadcastHashJoin") >= 2 or (
         "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
     ), plan[:2000]
+
+
+def test_grid_cluster_batched_materialization_count(spark):
+    """The batched grid-cluster engine's reason to exist: the serial
+    barrier count is ceil(levels / batch) + 0 eager point materializations,
+    not one per zoom. Gate it structurally by counting _checkpoint calls."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    import geojson_vt_spark.cluster.grid as grid
+    from geojson_vt_spark.config import ClusterOptions
+
+    n = 2000
+    pts = spark.range(n).select(
+        F.col("id").alias("idx"),
+        (F.pmod(F.col("id") * 7919 + 1, F.lit(4999)) / 4999.0).alias("px"),
+        (F.pmod(F.col("id") * 104729 + 5, F.lit(4999)) / 4999.0).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    ).localCheckpoint(eager=True)
+    opts = ClusterOptions(max_zoom=8)  # 9 levels, k=3 -> 3 barriers
+
+    calls = []
+    orig = grid._checkpoint
+
+    def counting(df, workdir, name):
+        calls.append(name)
+        return orig(df, workdir, name)
+
+    old_mode = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE")
+    os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = "batched"
+    grid._checkpoint = counting
+    try:
+        grid.build_grid_trees(pts, opts, n)
+    finally:
+        grid._checkpoint = orig
+        if old_mode is None:
+            del os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"]
+        else:
+            os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = old_mode
+
+    levels = opts.max_zoom - opts.min_zoom + 1
+    k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "3")))
+    assert len(calls) == math.ceil(levels / k), calls
+    assert all(name.startswith("ctree/zb=") for name in calls), calls
