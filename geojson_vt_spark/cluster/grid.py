@@ -281,7 +281,6 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
         src = pdf["src"].to_numpy(np.int64)
         parent = pdf["parent"].to_numpy(np.int64)
         num = pdf["num"].to_numpy(np.int64)
-        out = []
         for z in levels:
             r = radius / (extent * (2.0 ** z))
             # identical float math to the Column path: fround then bin
@@ -300,18 +299,17 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
             row_merged = merged_cell[inv]
             cid_cell = uniq * np.int64(32) + np.int64(z + 1 + n_points)
             # finalized level z+1: parent filled in for rows that merge
-            out.append(
-                pd.DataFrame(
-                    {
-                        "level": np.full(x.size, z + 1, np.int32),
-                        "fr": np.zeros(x.size, bool),
-                        "x": x,
-                        "y": y,
-                        "src": src,
-                        "parent": np.where(row_merged, cid_cell[inv], parent),
-                        "num": num,
-                    }
-                )
+            # (yielded piecewise — no whole-output pd.concat copy)
+            yield pd.DataFrame(
+                {
+                    "level": np.full(x.size, z + 1, np.int32),
+                    "fr": np.zeros(x.size, bool),
+                    "x": x,
+                    "y": y,
+                    "src": src,
+                    "parent": np.where(row_merged, cid_cell[inv], parent),
+                    "num": num,
+                }
             )
             # next frontier: pass-through rows + new weighted-centroid clusters
             m = merged_cell
@@ -325,20 +323,17 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
                 [parent[keep], np.full(int(m.sum()), -1, np.int64)]
             )
             num = np.concatenate([num[keep], cell_num[m]])
-        out.append(
-            pd.DataFrame(
-                {
-                    "level": np.full(x.size, levels[-1], np.int32),
-                    "fr": np.ones(x.size, bool),
-                    "x": x,
-                    "y": y,
-                    "src": src,
-                    "parent": parent,
-                    "num": num,
-                }
-            )
+        yield pd.DataFrame(
+            {
+                "level": np.full(x.size, levels[-1], np.int32),
+                "fr": np.ones(x.size, bool),
+                "x": x,
+                "y": y,
+                "src": src,
+                "parent": parent,
+                "num": num,
+            }
         )
-        yield pd.concat(out, ignore_index=True)
 
     return kern
 
