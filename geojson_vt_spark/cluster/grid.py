@@ -356,6 +356,32 @@ def _batched_levels(
     every batch (coarse anchors only ever see a collapsed frontier)."""
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
     k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "3")))
+    # the kernel buffers whole partitions anyway, so cross Arrow in big
+    # batches: fewer JVM->pandas conversions and concat pieces per task
+    spark = frontier.sparkSession
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_batch = spark.conf.get(batch_key, None)
+    spark.conf.set(
+        batch_key, os.environ.get("SPARK_GRAFT_CLUSTER_ARROW_BATCH", "262144")
+    )
+    try:
+        _run_batches(frontier, trees, o, n_points, workdir, k)
+    finally:
+        if old_batch is None:
+            spark.conf.unset(batch_key)
+        else:
+            spark.conf.set(batch_key, old_batch)
+
+
+def _run_batches(
+    frontier: DataFrame,
+    trees: dict[int, DataFrame],
+    o: ClusterOptions,
+    n_points: int,
+    workdir: Optional[str],
+    k: int,
+) -> None:
+    f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
     zs = list(range(o.max_zoom, o.min_zoom - 1, -1))
     for i in range(0, len(zs), k):
         batch = zs[i : i + k]
