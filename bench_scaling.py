@@ -12,7 +12,8 @@ overhead excluded by measuring inside the session):
   * pyramid: z0..z14 fused split/assemble over seeded rectangles (whole-batch
     numpy kernels through Arrow)
   * minhash: LSH dedup over an 8x-amplified corpus (JVM codegen + shuffle)
-  * cluster: grid-mode per-zoom clustering (pure Column aggregation)
+  * cluster: grid-mode clustering (batched level engine: one anchor-cell
+    exchange + partition-local numpy kernel per k zooms)
 
 Every workload reports the pairs local[1]->local[4], local[2]->local[8] and
 local[8]->local[32] (minhash skips the 1-core leg — a one-core shuffle job
@@ -28,9 +29,14 @@ are reported; nothing is hidden.
 Methodology: fresh JVM per leg, paired legs run back-to-back so both see
 the same host window (this VM's wall-clock for identical jobs varies 2-7x),
 minima over --repeat reps per leg. The cluster workload additionally wants
-a floor-amortized size (--n-points 48000000): its ~2.4 s/level fixed job
-latency (9 sequential levels) is size-independent and vanishes at corpus
-scale, so small inputs understate the engine's scaling.
+a floor-amortized size (--n-points 48000000): its per-batch fixed job
+latency (ceil(levels/k) serial barriers) is size-independent and vanishes
+at corpus scale, so small inputs understate the engine's scaling. The
+cluster build is otherwise a streaming linear-scan workload: on this
+single-socket microVM its core-scaling is bounded by the measured DRAM
+ceiling (aggregate stream bandwidth grows only ~1.5x from 1 to 8 procs —
+see BASELINE.md probes), a limit that does not exist for N->4N real
+executors, which multiply memory controllers with machines.
 
 Usage: python bench_scaling.py [--sf-dir DIR] [--repeat N]
 Writes one JSON line; BASELINE.md records the table.
