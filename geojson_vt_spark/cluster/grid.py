@@ -354,23 +354,53 @@ def _batched_levels(
     rows, the frontier after any level is capped by that level's occupied
     cell count, and anchor cells are far more numerous than partitions at
     every batch (coarse anchors only ever see a collapsed frontier)."""
-    f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
-    k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "3")))
+    spark = frontier.sparkSession
     # the kernel buffers whole partitions anyway, so cross Arrow in big
     # batches: fewer JVM->pandas conversions and concat pieces per task
-    spark = frontier.sparkSession
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old_batch = spark.conf.get(batch_key, None)
     spark.conf.set(
         batch_key, os.environ.get("SPARK_GRAFT_CLUSTER_ARROW_BATCH", "262144")
     )
     try:
-        _run_batches(frontier, trees, o, n_points, workdir, k)
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        _run_batches(frontier, trees, o, n_points, workdir, batch_plan(o, parts))
     finally:
         if old_batch is None:
             spark.conf.unset(batch_key)
         else:
             spark.conf.set(batch_key, old_batch)
+
+
+def batch_plan(o: ClusterOptions, shuffle_partitions: int) -> list:
+    """Group the zoom levels (descending) into exchange batches.
+
+    Adaptive default: ONE batch down to ``z_floor`` — the coarsest zoom
+    whose full anchor grid, (extent*2^z/radius)^2 cells, still offers >= 64
+    anchors per shuffle partition (parallelism + bounded skew) — and one
+    final batch for the remaining coarse zooms, whose frontier is already
+    collapsed to at most the occupied-cell count of z_floor (thousands of
+    rows), where anchor scarcity is irrelevant. Serial barrier count is
+    therefore 2 for any realistic option set, independent of max_zoom.
+
+    ``SPARK_GRAFT_CLUSTER_LEVEL_BATCH`` overrides with fixed-size chunks.
+    """
+    zs = list(range(o.max_zoom, o.min_zoom - 1, -1))
+    fixed = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH")
+    if fixed:
+        k = max(1, int(fixed))
+        return [zs[i : i + k] for i in range(0, len(zs), k)]
+    min_anchors = 64 * max(1, shuffle_partitions)
+    z_floor = o.min_zoom
+    for z in range(o.min_zoom, o.max_zoom + 1):
+        if (o.extent * (2.0 ** z) / o.radius) ** 2 >= min_anchors:
+            z_floor = z
+            break
+    else:
+        return [zs]  # even max_zoom's grid is tiny: no parallelism to lose
+    head = [z for z in zs if z >= z_floor]
+    tail = [z for z in zs if z < z_floor]
+    return [b for b in (head, tail) if b]
 
 
 def _run_batches(
@@ -379,12 +409,10 @@ def _run_batches(
     o: ClusterOptions,
     n_points: int,
     workdir: Optional[str],
-    k: int,
+    batches: list,
 ) -> None:
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
-    zs = list(range(o.max_zoom, o.min_zoom - 1, -1))
-    for i in range(0, len(zs), k):
-        batch = zs[i : i + k]
+    for batch in batches:
         z_hi, z_lo = batch[0], batch[-1]
         r_lo = o.radius / (o.extent * (2.0 ** z_lo))
         anchored = frontier.withColumn(

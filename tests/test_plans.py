@@ -225,7 +225,10 @@ def test_grid_cluster_batched_materialization_count(spark):
         else:
             os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = old_mode
 
-    levels = opts.max_zoom - opts.min_zoom + 1
-    k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "3")))
-    assert len(calls) == math.ceil(levels / k), calls
+    from geojson_vt_spark.cluster.grid import batch_plan
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expected = len(batch_plan(opts, parts))
+    assert len(calls) == expected, calls
+    assert expected <= 2  # adaptive plan: 2 serial barriers for default opts
     assert all(name.startswith("ctree/zb=") for name in calls), calls
