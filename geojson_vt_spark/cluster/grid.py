@@ -276,6 +276,14 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        cap = int(os.environ.get("SPARK_GRAFT_CLUSTER_MAX_PARTITION_ROWS", "100000000"))
+        if len(pdf) > cap:
+            raise RuntimeError(
+                f"grid-cluster anchor partition holds {len(pdf)} rows "
+                f"(> {cap}); the batched kernel buffers whole partitions — "
+                "raise spark.sql.shuffle.partitions (anchors rebalance "
+                "automatically) or lower SPARK_GRAFT_CLUSTER_MAX_PARTITION_ROWS"
+            )
         x = pdf["x"].to_numpy(np.float64)
         y = pdf["y"].to_numpy(np.float64)
         src = pdf["src"].to_numpy(np.int64)
