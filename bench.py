@@ -176,7 +176,7 @@ def main() -> None:
     # this microVM's wall-clock varies 2-7x run to run (hypervisor steal;
     # probes in BASELINE.md) — every component runs `repeat` times and the
     # per-component minimum is reported, the standard noisy-host method
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_features = max(int(100_000 * sf), 500)
 
