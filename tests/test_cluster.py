@@ -354,3 +354,51 @@ def test_grid_level_engines_equivalent_offset_zooms(spark):
     assert sorted(a) == sorted(b)
     for z in a:
         assert a[z] == b[z], f"zoom {z}: engines disagree"
+
+
+def test_grid_workdir_snapshot_resume(spark, tmp_path):
+    """build_grid_trees(workdir=...) writes per-batch parquet snapshots; a
+    rebuild over the same workdir reads them back (resumable lineage) and
+    returns identical trees."""
+    from pyspark.sql import functions as F
+
+    import geojson_vt_spark.cluster.grid as grid
+
+    n = 2000
+    pts = spark.range(n).select(
+        F.col("id").alias("idx"),
+        (F.pmod(F.col("id") * 48271, F.lit(65521)) / 65521.0).alias("px"),
+        (F.pmod(F.col("id") * 16807 + 13, F.lit(65521)) / 65521.0).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    ).localCheckpoint(eager=True)
+    opts = ClusterOptions(max_zoom=6)
+    wd = str(tmp_path / "ctrees")
+
+    def snap(trees):
+        return {
+            z: {r["src"]: (r["num"], r["parent"]) for r in
+                trees[z].select("src", "num", "parent").collect()}
+            for z in (0, 3, 6)
+        }
+
+    first = snap(grid.build_grid_trees(pts, opts, n, workdir=wd))
+
+    # second build must hit the snapshots, not recompute: poison the kernel
+    orig = grid._make_level_kernel
+
+    def poisoned(levels, o, n_points):
+        def kern(it):
+            raise AssertionError(
+                "batched kernel re-ran despite existing snapshots"
+            )
+            yield  # make it a generator
+
+        return kern
+
+    grid._make_level_kernel = poisoned
+    try:
+        second = snap(grid.build_grid_trees(pts, opts, n, workdir=wd))
+    finally:
+        grid._make_level_kernel = orig
+    assert first == second
