@@ -330,7 +330,7 @@ def test_grid_level_engines_equivalent_offset_zooms(spark):
         F.lit(None).cast("string").alias("id"),
         F.lit(None).cast("string").alias("tags"),
     ).localCheckpoint(eager=True)
-    opts = ClusterOptions(min_zoom=2, max_zoom=6)  # 5 levels, batch k=3 -> 3+2
+    opts = ClusterOptions(min_zoom=2, max_zoom=6, min_points=4)
 
     def snap(mode):
         old = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE")
