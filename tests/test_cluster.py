@@ -402,3 +402,53 @@ def test_grid_workdir_snapshot_resume(spark, tmp_path):
     finally:
         grid._make_level_kernel = orig
     assert first == second
+
+
+def test_grid_engines_handle_world_copy_coords(spark):
+    """Antimeridian wrap copies put x outside [0,1] (x in [-1-b, 2+b]).
+    The packed-cell math is offset-signed; both engines must agree and
+    conserve counts for negative and >1 coordinates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.cluster.grid import build_grid_trees
+
+    n = 900
+    pts = spark.range(n).select(
+        F.col("id").alias("idx"),
+        # thirds of the corpus in left copy, center, right copy
+        (
+            (F.pmod(F.col("id") * 7919, F.lit(1000)) / 1000.0)
+            + F.when(F.col("id") % 3 == 0, -1.0)
+            .when(F.col("id") % 3 == 1, 0.0)
+            .otherwise(1.0)
+        ).alias("px"),
+        (F.pmod(F.col("id") * 104729 + 3, F.lit(1000)) / 1000.0).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    ).localCheckpoint(eager=True)
+    opts = ClusterOptions(max_zoom=5)
+
+    def snap(mode):
+        old = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE")
+        os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = mode
+        try:
+            trees = build_grid_trees(pts, opts, n)
+            return {
+                z: {
+                    r["src"]: (r["num"], r["parent"])
+                    for r in trees[z].select("src", "num", "parent").collect()
+                }
+                for z in (0, 2, 5)
+            }
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"]
+            else:
+                os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = old
+
+    a, b = snap("batched"), snap("column")
+    for z in a:
+        assert a[z] == b[z], f"zoom {z}: engines disagree on world copies"
+        assert sum(num for num, _ in a[z].values()) == n
