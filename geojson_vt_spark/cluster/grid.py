@@ -15,11 +15,15 @@ Properties vs the reference semantics (documented, invariant-tested):
   * ids keep the reference encoding (id - n) % 32 == origin zoom, with the
     packed cell index in place of the array position.
 
-Execution shape per zoom: ONE partial-aggregated shuffle (groupBy cell).
-Everything is built-in Column math — no Python in the loop — so AQE can
-coalesce/split skewed cells (dense urban areas) at runtime. Each level is
-localCheckpoint-ed to keep the 17-level loop's plan flat; pass a workdir for
-parquet snapshots (resumable lineage, same contract as plans/pyramid.py).
+Execution shape (default, `_batched_levels`): cells nest across zooms, so
+after ONE repartition by the batch's coarsest-zoom anchor cell a numpy
+kernel finishes every zoom of the batch partition-locally; the adaptive
+`batch_plan` gives TWO serial exchange+materialization barriers for any
+zoom range. A per-zoom pure-Column engine (`_column_levels`, one
+partial-agg shuffle + one checkpoint per zoom, AQE-skew-friendly) remains
+selectable via SPARK_GRAFT_CLUSTER_LEVEL_MODE=column and is structurally
+equality-tested against the batched one. Pass a workdir for parquet
+snapshots (resumable lineage, same contract as plans/pyramid.py).
 """
 
 from __future__ import annotations
@@ -354,9 +358,9 @@ def _batched_levels(
     workdir: Optional[str],
 ) -> None:
     """Batched engine: ONE anchor-cell exchange + ONE materialization per
-    group of `SPARK_GRAFT_CLUSTER_LEVEL_BATCH` zooms (default 3) instead of
-    per zoom — the level loop's serial shuffle count drops by the batch
-    factor, which is what a bandwidth-bound 100 TB loop actually pays for.
+    level batch (adaptive plan: two batches total, see `batch_plan`)
+    instead of per zoom — the serial barrier count is what a
+    bandwidth-bound 100 TB loop actually pays for.
 
     Skew stays bounded without AQE help: a partition's work is linear in its
     rows, the frontier after any level is capped by that level's occupied
