@@ -1,0 +1,116 @@
+"""Deployment-shape test: the engine ships as spark-submit --py-files.
+
+north_rule: "run via spark-submit --py-files on a multi-executor cluster"
+(BASELINE.json). This builds the dist zip with make_pyfiles.py, writes a
+tiny interleaved-documents table, and runs jobs/pyramid_job.py through a
+REAL spark-submit with the repo hidden from PYTHONPATH — proving the zip
+alone carries the engine to driver and executors — then checks the
+registry output and the resume contract (second submit reuses the
+workdir snapshots instead of recomputing).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit():
+    exe = shutil.which("spark-submit")
+    if exe is None:
+        pytest.skip("spark-submit not on PATH")
+    return exe
+
+
+def _run_job(zip_path, tmp, docs_path, workdir, out_path):
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_GRAFT_SF_DIR")
+    }
+    env["PYTHONDONTWRITEBYTECODE"] = "1"
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.local.dir=/dev/shm/spark-local"
+            if os.path.isdir("/dev/shm") else "spark.local.dir=/tmp",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "pyramid_job.py"),
+            "--documents", docs_path,
+            "--workdir", workdir,
+            "--output", out_path,
+            "--max-zoom", "3",
+            "--index-max-zoom", "3",
+            "--index-max-points", "128",
+        ],
+        capture_output=True,
+        text=True,
+        # run from OUTSIDE the repo so cwd-relative imports can't cheat
+        cwd=str(tmp),
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    metrics_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PYRAMID_METRICS ")
+    ]
+    assert metrics_lines, f"no metrics line in stdout:\n{proc.stdout[-2000:]}"
+    return json.loads(metrics_lines[-1][len("PYRAMID_METRICS "):])
+
+
+def test_pyfiles_zip_is_self_contained(tmp_path):
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+    import zipfile
+
+    names = zipfile.ZipFile(zip_path).namelist()
+    assert "geojson_vt_spark/__init__.py" in names
+    assert "geojson_vt_spark/plans/pyramid.py" in names
+    assert not any(n.endswith(".pyc") or "__pycache__" in n for n in names)
+    # deterministic rebuild (same bytes -> safe to re-submit mid-campaign)
+    zip2 = build_zip(str(tmp_path / "again.zip"))
+    assert open(zip_path, "rb").read() == open(zip2, "rb").read()
+
+
+def test_spark_submit_pyramid_job(spark, tmp_path):
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+    from geojson_vt_spark.sources.documents import synthesize_documents
+    from tests.conftest import load_fixture
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+
+    payload = json.dumps(load_fixture("us-states.json"))
+    docs_path = str(tmp_path / "documents.parquet")
+    synthesize_documents(spark, [payload], n_docs=4).write.parquet(docs_path)
+
+    workdir = str(tmp_path / "snapshots")
+    out_path = str(tmp_path / "registry-out")
+    metrics = _run_job(zip_path, tmp_path, docs_path, workdir, out_path)
+
+    # 4 identical docs x us-states -> same tile keys as one copy; z0 exists
+    assert metrics["stats"]["z0"] == 1
+    assert metrics["total"] >= 1
+    assert metrics["tile_features"] > 0
+
+    reg = spark.read.parquet(out_path)
+    assert reg.filter("z = 0 AND x = 0 AND y = 0").count() == 1
+    assert reg.count() == metrics["total"]
+
+    # resume contract: a second submit against the same workdir reuses the
+    # per-level snapshots (exists() short-circuits the write) and lands on
+    # the identical registry
+    metrics2 = _run_job(zip_path, tmp_path, docs_path, workdir,
+                        str(tmp_path / "registry-out2"))
+    assert metrics2["stats"] == metrics["stats"]
+    assert metrics2["total"] == metrics["total"]
