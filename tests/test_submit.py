@@ -82,6 +82,65 @@ def test_pyfiles_zip_is_self_contained(tmp_path):
     assert open(zip_path, "rb").read() == open(zip2, "rb").read()
 
 
+def test_spark_submit_cluster_job(spark, tmp_path):
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from make_pyfiles import build_zip
+    from geojson_vt_spark.cluster.grid import build_grid_trees
+    from geojson_vt_spark.config import ClusterOptions
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+
+    n = 500
+    pts = spark.range(n).select(
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) / 1000.0).alias("px"),
+        (F.pmod(F.col("id") * 2246822519 + 7, F.lit(1000)) / 1000.0).alias("py"),
+    )
+    pts_path = str(tmp_path / "points.parquet")
+    pts.write.parquet(pts_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "cluster_job.py"),
+            "--points", pts_path,
+            "--output", str(tmp_path / "trees-out"),
+            "--max-zoom", "4",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    line = [l for l in proc.stdout.splitlines() if l.startswith("CLUSTER_METRICS ")]
+    assert line, proc.stdout[-2000:]
+    metrics = json.loads(line[-1][len("CLUSTER_METRICS "):])
+    assert metrics["n_points"] == n
+
+    # exact cross-check: in-process build over the identical input must give
+    # the same per-zoom cluster counts (grid mode is order-free/deterministic)
+    local_pts = (
+        spark.read.parquet(pts_path)
+        .select(
+            F.monotonically_increasing_id().alias("idx"), "px", "py",
+            F.lit(None).cast("string").alias("id"),
+            F.lit(None).cast("string").alias("tags"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trees = build_grid_trees(local_pts, ClusterOptions(max_zoom=4), n)
+    expected = {f"z{z}": trees[z].count() for z in sorted(trees)}
+    assert metrics["stats"] == expected
+    # parquet output exists for every zoom and agrees with the metrics
+    for z_key, cnt in expected.items():
+        out = spark.read.parquet(str(tmp_path / "trees-out" / f"z={z_key[1:]}"))
+        assert out.count() == cnt
+
+
 def test_spark_submit_pyramid_job(spark, tmp_path):
     sys.path.insert(0, REPO)
     from make_pyfiles import build_zip
