@@ -668,6 +668,88 @@ GROUP BY n_nationkey
 
 
 # --------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (src, dst) ->
+    (doc_id, cluster_rep) for every vertex, rep = component minimum.
+
+    Scale shape: each round is ONE shuffle (edge-label equi-join + min
+    aggregate); rounds are bounded by component diameter. Near-dup graphs
+    are shallow (pairs above a Jaccard threshold form near-cliques), so this
+    converges in 2-3 rounds; for adversarial diameters the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") is the drop-in replacement — the
+    per-round plan (equi-join + partial-agg min) is identical. Labels are
+    localCheckpoint-ed per round: lineage cut + one stable frame per round,
+    the same driver-synchronized-loop pattern as the kNN ring search."""
+    both = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    both = both.distinct().localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        prop = both.join(
+            labels.select(F.col("doc_id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def q_dedup_cluster_cc(spark, sf_dir):
+    """Canonical representative per near-dup cluster: connected components
+    over the minhash-LSH pair graph, so chains of pairwise near-dups (a~b,
+    b~c, but a!~c) still collapse to ONE keeper — the grouping step every
+    dedup pipeline runs after pair generation."""
+    pairs = q_minhash_lsh_dedup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTER_CC = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach (doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id
+"""
+
 
 def _q_simhash_dedup_md5(spark, sf_dir):
     return q_simhash_dedup(spark, sf_dir, hash_fn="md5_16")
@@ -675,6 +757,7 @@ def _q_simhash_dedup_md5(spark, sf_dir):
 
 QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "dedup_cluster_cc": q_dedup_cluster_cc,
     # driver-facing entry uses the engine-portable md5_16 bits so the DuckDB
     # oracle can replay the pipeline; the library default stays xxhash64
     "simhash_dedup": _q_simhash_dedup_md5,
@@ -692,6 +775,9 @@ ORACLES = {
     # prunes candidates; miss probability 2^-16 per qualifying pair, and the
     # test corpus is fixed) — so the exact query's SQL is a valid oracle
     "minhash_lsh_dedup": _SQL_MINHASH_ORACLE,
+    # transitive closure of the same pair graph; MIN over reachable labels
+    # is exactly the component minimum the Spark loop converges to
+    "dedup_cluster_cc": SQL_DEDUP_CLUSTER_CC,
     # full-pipeline replay over the same md5-derived bits (banding omitted:
     # recall-exact by pigeonhole, so ham<=3 pairs are the ground truth)
     "simhash_dedup": SQL_SIMHASH_DEDUP,

@@ -25,6 +25,41 @@ def test_new_oracles_match_duckdb(spark):
     assert not bad, bad
 
 
+def test_connected_components_transitive_chain(spark):
+    """Chains must collapse to one component even when the endpoints are not
+    themselves a pair (a~b, b~c, c~d but a!~d) — the property pair-grouping
+    alone cannot give."""
+    from geojson_vt_spark.training import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_cc_matches_duckdb_closure(spark):
+    from .oracle_harness import run_all
+
+    res = run_all(spark, SF, names={"dedup_cluster_cc"})
+    assert res["dedup_cluster_cc"].get("hash_match"), res["dedup_cluster_cc"]
+
+
+def test_dedup_cluster_reps_consistent_with_pairs(spark):
+    """Both docs of every near-dup pair must land in the same cluster, and
+    the rep must be a member <= everyone it represents."""
+    from geojson_vt_spark.training import q_dedup_cluster_cc, q_minhash_lsh_dedup
+
+    rep = {r.doc_id: r.cluster_rep for r in q_dedup_cluster_cc(spark, SF).collect()}
+    pairs = q_minhash_lsh_dedup(spark, SF).select("doc_a", "doc_b").collect()
+    assert pairs
+    for p in pairs:
+        assert rep[p.doc_a] == rep[p.doc_b]
+    for doc, r in rep.items():
+        assert r <= doc
+        assert rep[r] == r  # the rep is its own rep (a member of the cluster)
+
+
 def test_minhash_equals_exact_jaccard(spark):
     from geojson_vt_spark.analytics import q_ngram_jaccard_dedup
     from geojson_vt_spark.training import q_minhash_lsh_dedup
