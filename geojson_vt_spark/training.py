@@ -672,6 +672,20 @@ GROUP BY n_nationkey
 # --------------------------------------------------------------------------
 
 
+def cc_round(both: DataFrame, labels: DataFrame) -> DataFrame:
+    """One label-propagation round: equi-join labels onto edge sources,
+    push each label to the destination, keep the per-vertex minimum. One
+    shuffle (the join; the min-agg partial-aggregates into it)."""
+    prop = both.join(
+        labels.select(F.col("doc_id").alias("src"), "label"), "src"
+    ).select(F.col("dst").alias("doc_id"), "label")
+    return (
+        labels.unionByName(prop)
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected edge list (src, dst) ->
     (doc_id, cluster_rep) for every vertex, rep = component minimum.
@@ -694,15 +708,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     while True:
-        prop = both.join(
-            labels.select(F.col("doc_id").alias("src"), "label"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cc_round(both, labels).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -751,6 +757,74 @@ SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic per-source cap (balanced corpus draws)
+# --------------------------------------------------------------------------
+
+
+def stratified_sample(d: DataFrame, k: int) -> DataFrame:
+    """Keep the k docs with the smallest content hash per source stratum —
+    a deterministic, engine-portable balanced sample (same doc set on every
+    run, every engine, any partitioning).
+
+    Scale shape: a naive per-stratum ROW_NUMBER sorts entire strata
+    (billions of rows each at corpus scale). Instead: (1) one partial-agg
+    count per stratum; (2) broadcast the tiny strata dim and pre-filter on
+    the hash prefix at 4k/n — survivors are ~4k rows per stratum
+    (P[< k survivors] is Chernoff-negligible, but NOT assumed: strata whose
+    survivor count dips below min(k, n) fall back to all their rows, so the
+    result is exactly the k smallest hashes regardless); (3) rank only the
+    ~4k survivors. The big table is touched by one filter scan + one
+    shuffle of ~4k rows per stratum."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = d.select("doc_id", "source").withColumn("hkey", h)
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    # first 8 hex chars as a uniform 32-bit draw
+    u = F.conv(F.substring("hkey", 1, 8), 16, 10).cast("long")
+    cut = F.when(
+        F.col("n") <= F.lit(4 * k), F.lit(float(1 << 32))
+    ).otherwise(F.lit(4.0 * k * (1 << 32)) / F.col("n"))
+    cand = d.join(F.broadcast(counts), "source").where(u < cut)
+    surv = cand.groupBy("source").agg(F.count("*").alias("n_surv"))
+    short = (
+        surv.join(counts, "source")
+        .where(F.col("n_surv") < F.least(F.lit(k), F.col("n")))
+        .select("source")
+    )
+    cand = cand.select("source", "doc_id", "hkey").unionByName(
+        d.join(F.broadcast(short), "source")
+        .join(cand.select("source", "doc_id"), ["source", "doc_id"], "left_anti")
+        .select("source", "doc_id", "hkey")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("hkey").asc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("source", "doc_id", "rank")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Balanced 50-doc draw per source over the documents table."""
+    return stratified_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 50
+"""
+
+
 def _q_simhash_dedup_md5(spark, sf_dir):
     return q_simhash_dedup(spark, sf_dir, hash_fn="md5_16")
 
@@ -758,6 +832,7 @@ def _q_simhash_dedup_md5(spark, sf_dir):
 QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_cluster_cc": q_dedup_cluster_cc,
+    "stratified_sample": q_stratified_sample,
     # driver-facing entry uses the engine-portable md5_16 bits so the DuckDB
     # oracle can replay the pipeline; the library default stays xxhash64
     "simhash_dedup": _q_simhash_dedup_md5,
@@ -778,6 +853,9 @@ ORACLES = {
     # transitive closure of the same pair graph; MIN over reachable labels
     # is exactly the component minimum the Spark loop converges to
     "dedup_cluster_cc": SQL_DEDUP_CLUSTER_CC,
+    # the oracle ranks whole strata (fine at sf); the Spark plan pre-filters
+    # on the hash prefix so only ~4k rows per stratum are ever sorted
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     # full-pipeline replay over the same md5-derived bits (banding omitted:
     # recall-exact by pigeonhole, so ham<=3 pairs are the ground truth)
     "simhash_dedup": SQL_SIMHASH_DEDUP,

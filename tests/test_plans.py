@@ -62,6 +62,24 @@ def test_knn_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_connected_components_round_is_equi_join(spark):
+    """Each CC label-propagation round must be an equi-join on the vertex
+    key + a partial-aggregated min — never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.training import cc_round
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).withColumn(
+        "label", F.col("doc_id")
+    )
+    plan = _plan(cc_round(edges, labels))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
 def test_heatmap_partial_aggregation(spark):
     """The heatmap must map-side combine (partial_count/sum before the
     exchange) — at 10^12 events the shuffle carries cells, not rows."""

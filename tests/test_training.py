@@ -60,6 +60,40 @@ def test_dedup_cluster_reps_consistent_with_pairs(spark):
         assert rep[r] == r  # the rep is its own rep (a member of the cluster)
 
 
+def test_stratified_sample_exact_vs_bruteforce(spark):
+    """The pre-filter + fallback must reproduce the brute-force 'k smallest
+    hashes per stratum' exactly — including strata smaller than k (keep all)
+    and strata big enough to engage the 4k/n hash cut."""
+    from pyspark.sql import Window, functions as F
+
+    from geojson_vt_spark.training import stratified_sample
+
+    rows = [(i, "big") for i in range(2000)] + [(10_000 + i, "tiny") for i in range(3)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    k = 5
+    got = {(r.source, r.doc_id, r.rank) for r in stratified_sample(d, k).collect()}
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    brute = (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("source", "doc_id", "rank")
+    )
+    want = {(r.source, r.doc_id, r.rank) for r in brute.collect()}
+    assert got == want
+    assert len([t for t in got if t[0] == "tiny"]) == 3  # undersized: keep all
+
+
+def test_stratified_sample_broadcasts_strata_dim(spark):
+    from geojson_vt_spark.training import q_stratified_sample
+
+    df = q_stratified_sample(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_equals_exact_jaccard(spark):
     from geojson_vt_spark.analytics import q_ngram_jaccard_dedup
     from geojson_vt_spark.training import q_minhash_lsh_dedup
