@@ -732,6 +732,47 @@ def q_dedup_cluster_cc(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_dedup_keep(spark, sf_dir):
+    """The corpus-dedup endpoint: drop every non-representative member of a
+    near-dup cluster, keep everything else. One broadcast-able anti-join of
+    the (tiny) drop-list against the corpus — the big table is scanned once
+    and never shuffled."""
+    drops = q_dedup_cluster_cc(spark, sf_dir).where(
+        F.col("doc_id") != F.col("cluster_rep")
+    ).select("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return d.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
+SQL_DEDUP_KEEP = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach (doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+drops AS (
+  SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id != MIN(label)
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 SQL_DEDUP_CLUSTER_CC = """
 WITH RECURSIVE d AS (
   SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
@@ -833,6 +874,7 @@ QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "stratified_sample": q_stratified_sample,
+    "dedup_keep": q_dedup_keep,
     # driver-facing entry uses the engine-portable md5_16 bits so the DuckDB
     # oracle can replay the pipeline; the library default stays xxhash64
     "simhash_dedup": _q_simhash_dedup_md5,
@@ -856,6 +898,7 @@ ORACLES = {
     # the oracle ranks whole strata (fine at sf); the Spark plan pre-filters
     # on the hash prefix so only ~4k rows per stratum are ever sorted
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dedup_keep": SQL_DEDUP_KEEP,
     # full-pipeline replay over the same md5-derived bits (banding omitted:
     # recall-exact by pigeonhole, so ham<=3 pairs are the ground truth)
     "simhash_dedup": SQL_SIMHASH_DEDUP,

@@ -80,6 +80,16 @@ def test_connected_components_round_is_equi_join(spark):
     assert "partial_min" in plan or "HashAggregate" in plan
 
 
+def test_dedup_keep_broadcasts_drop_list(spark):
+    """Corpus dedup must anti-join a broadcast drop-list against the big
+    table — one scan, no shuffle of the corpus."""
+    from geojson_vt_spark.training import q_dedup_keep
+
+    plan = _plan(q_dedup_keep(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_heatmap_partial_aggregation(spark):
     """The heatmap must map-side combine (partial_count/sum before the
     exchange) — at 10^12 events the shuffle carries cells, not rows."""
