@@ -138,7 +138,7 @@ def bench_analytics(spark: SparkSession, sf_dir: str) -> dict:
         "minhash_lsh_dedup", "simhash_dedup", "leaves_pagination",
         "invalidation_join", "weighted_centroid", "lang_id",
         "doc_fingerprint", "events_tile_heatmap", "raster_vector_bridge",
-        "media_decode_stats",
+        "media_decode_stats", "stratified_sample",
     ]
     out = {}
     for name in picks:
