@@ -141,6 +141,43 @@ def test_spark_submit_cluster_job(spark, tmp_path):
         assert out.count() == cnt
 
 
+def test_spark_submit_dedup_job(spark, tmp_path):
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+    from geojson_vt_spark.training import q_dedup_keep
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+    sf_dir = "/root/testdata/sf0.001"
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_path = str(tmp_path / "keep-list")
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "dedup_job.py"),
+            "--documents", f"{sf_dir}/documents.parquet",
+            "--output", out_path,
+            "--clusters-output", str(tmp_path / "clusters"),
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    line = [l for l in proc.stdout.splitlines() if l.startswith("DEDUP_METRICS ")]
+    assert line, proc.stdout[-2000:]
+    metrics = json.loads(line[-1][len("DEDUP_METRICS "):])
+    assert metrics["docs_kept"] + metrics["docs_dropped"] == metrics["docs_in"]
+    assert metrics["docs_dropped"] > 0  # the synthetic corpus plants dups
+
+    # the submitted job's keep-list must equal the library surface's
+    got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
+    want = {tuple(r) for r in q_dedup_keep(spark, sf_dir).collect()}
+    assert got == want
+
+
 def test_spark_submit_pyramid_job(spark, tmp_path):
     sys.path.insert(0, REPO)
     from make_pyfiles import build_zip
