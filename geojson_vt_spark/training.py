@@ -24,27 +24,74 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Deduplication: MinHash + LSH (shingle -> minhash -> band -> bucket join)
 # --------------------------------------------------------------------------
 
-_MINHASH_SEEDS = list(range(16))  # b=16 bands, r=1 row: P(miss | J=0.5) = 2^-16
+_MH_P = 2147483647  # 2^31-1 (Mersenne prime): a*x+b stays exact in int64
 
 
-def q_minhash_lsh_dedup(spark, sf_dir):
-    """Near-dup pairs (token-set Jaccard >= 0.5) at scale: instead of the
-    O(n^2)-per-source self-join of `ngram_jaccard_dedup`, candidates come
-    from a minhash band-bucket equi-join (shuffle on (source, band, hash)),
-    then only candidates pay the exact Jaccard refine. Same output schema as
-    the exact query; with 16 bands the miss probability at the 0.5 threshold
-    is 2^-16 per qualifying pair (equality to the exact query is asserted on
-    the fixed test corpus)."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    tok = d.select("doc_id", "source", F.explode("toks").alias("t"))
-    sig = tok.groupBy("doc_id", "source").agg(
-        *[
-            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
-            for s in _MINHASH_SEEDS
-        ]
-    )
+def _mh_coeffs(n_hashes: int) -> list:
+    """Deterministic affine universal family h_s(x) = (a_s*x + b_s) mod P
+    (Knuth multiplicative constants, fixed at authoring time — no runtime
+    RNG; the DuckDB oracle inlines the same literals). One strong base hash
+    per token + n_hashes multiply-adds replaces n_hashes independent hash
+    evaluations per token row."""
+    return [
+        (
+            (s * 2654435761 + 2654435769) % (_MH_P - 1) + 1,
+            (s * 1779033703 + 3144134277) % _MH_P,
+        )
+        for s in range(n_hashes)
+    ]
+
+
+def _mh_base_col(hash_fn: str):
+    """Per-token base draw in [0, P). "xxhash64" is the JVM fast path;
+    "md5_60" (low 60 bits of md5's hex) is bit-identical across engines so a
+    DuckDB oracle can replay the whole pipeline. Folding into 31 bits merges
+    a token pair with prob ~|vocab|^2/2^32 — a negligible Jaccard bias, and
+    at 10^9-token vocabularies the place to widen is the base hash, not the
+    family (the affine family must stay within exact int64)."""
+    if hash_fn == "md5_60":
+        base = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    else:
+        base = F.xxhash64("t")
+    return F.pmod(base, F.lit(_MH_P))
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """n_hashes minhashes per (doc_id, source) over the `toks` array column.
+    One shuffle total: the explode is map-side, the groupBy partial-aggregates
+    (map-side combine), and each doc travels as ONE narrow row of n_hashes
+    longs — never a signature-per-token."""
+    tok = docs.select("doc_id", "source", F.explode("toks").alias("t"))
+    tok = tok.withColumn("x", _mh_base_col(hash_fn))
+    aggs = [
+        F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(_MH_P))).alias(f"h{s}")
+        for s, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    ]
+    return tok.groupBy("doc_id", "source").agg(*aggs)
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate pairs from banded minhash LSH: two docs are candidates iff
+    they agree on ALL r = n_hashes/n_bands signature values in at least one
+    band. The r values themselves are the equi-join key (no band-hash
+    combine, so no combiner collisions and the key is trivially portable);
+    one shuffle on (source, band, k0..k(r-1)).
+
+    Banding S-curve: P(candidate | Jaccard J) = 1 - (1 - J^r)^b. r=1 is the
+    exact-recall mode (miss 2^-16 at J=0.5 with b=16) but prunes nothing at
+    low J (P=81% at J=0.1 — near-all-pairs on repetitive web corpora). The
+    r=4 default keeps P(candidate at J=0.1) at ~0.16% — the web-scale
+    setting — at the cost of S-curve recall near the threshold (~64% at
+    J=0.5, >99.98% at J>=0.8): calibrate n_bands/r to the corpus threshold."""
+    r = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, hash_fn)
     bands = sig.select(
         "doc_id",
         "source",
@@ -52,30 +99,72 @@ def q_minhash_lsh_dedup(spark, sf_dir):
             F.array(
                 *[
                     F.struct(
-                        F.lit(s).alias("band"), F.col(f"h{s}").alias("bhash")
+                        F.lit(i).alias("band"),
+                        *[F.col(f"h{i * r + j}").alias(f"k{j}") for j in range(r)],
                     )
-                    for s in _MINHASH_SEEDS
+                    for i in range(n_bands)
                 ]
             )
-        ).alias("b"),
-    ).select("doc_id", "source", "b.band", "b.bhash")
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["source", "band", "bhash"])
+        ).alias("bb"),
+    ).select("doc_id", "source", "bb.*")
+    keys = ["source", "band"] + [f"k{j}" for j in range(r)]
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, keys)
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs (token-set Jaccard >= threshold) at scale: instead of
+    the O(n^2)-per-source self-join of `ngram_jaccard_dedup`, candidates come
+    from the banded minhash equi-join, then only candidates pay the exact
+    Jaccard refine — precision is exact, recall follows the banding S-curve
+    (see minhash_band_candidates; n_hashes=n_bands gives the r=1 exact-recall
+    mode)."""
+    cand = minhash_band_candidates(docs, n_hashes, n_bands, hash_fn)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     refined = cand.join(da, "doc_a").join(db, "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
     return refined.select(
         "doc_a", "doc_b", F.round(inter / union, 9).alias("jaccard")
-    ).where(F.col("jaccard") >= 0.5)
+    ).where(F.col("jaccard") >= threshold)
+
+
+def _docs_tokens(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Driver entry: the web-scale banding (b=16 bands x r=4 rows, 64
+    hashes) over the engine-portable md5_60 base hash, so the DuckDB oracle
+    replays the ENTIRE pipeline — signatures, band join, candidate set, exact
+    refine — and equality holds by construction (the same move that made
+    simhash fully oracle-able). Output = banded candidates with exact
+    Jaccard >= 0.5; near-threshold pairs follow the S-curve by design (this
+    corpus plants ~1k pairs at J in [0.5,0.6) precisely to expose engines
+    that silently run r=1). The r=1 exact-recall mode remains available via
+    minhash_lsh_pairs(n_hashes=16, n_bands=16) and feeds the CC/keep
+    endpoints whose oracles are the exact transitive closure."""
+    return minhash_lsh_pairs(
+        _docs_tokens(spark, sf_dir),
+        threshold=0.5,
+        n_hashes=64,
+        n_bands=16,
+        hash_fn="md5_60",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -83,18 +172,59 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-_SQL_MINHASH_ORACLE = """
+def _sql_minhash_replay(n_hashes: int = 64, n_bands: int = 16) -> str:
+    """DuckDB replay of the FULL banded pipeline q_minhash_lsh_dedup runs:
+    md5_60 base hash -> affine signature mins -> band equi-join -> exact
+    Jaccard refine. Every literal (affine coefficients, nibble weights) is
+    the same integer arithmetic Spark evaluates, so the oracle matches the
+    S-curve candidate set exactly — not just the idealized semantics."""
+    r = n_hashes // n_bands
+    nib = "(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+    h60 = " + ".join(f"{nib.format(pos=1 + j)} * {16 ** (14 - j)}" for j in range(15))
+    mins = ",\n         ".join(
+        f"MIN((x * {a} + {b}) % 2147483647) AS h{s}"
+        for s, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, source, {i} AS band, "
+        + ", ".join(f"h{i * r + j} AS k{j}" for j in range(r))
+        + " FROM sig"
+        for i in range(n_bands)
+    )
+    keys = " AND ".join(
+        ["x.source = y.source", "x.band = y.band"]
+        + [f"x.k{j} = y.k{j}" for j in range(r)]
+    )
+    return f"""
 WITH d AS (
   SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
   FROM documents
+), tok AS (
+  SELECT doc_id, source, unnest(toks) AS t FROM d
+), hashed AS (
+  SELECT doc_id, source, md5(t) AS m FROM tok
+), based AS (
+  SELECT doc_id, source, ({h60}) % 2147483647 AS x FROM hashed
+), sig AS (
+  SELECT doc_id, source,
+         {mins}
+  FROM based GROUP BY doc_id, source
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON {keys} AND x.doc_id < y.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / len(list_distinct(list_concat(a.toks, b.toks))), 9) AS jaccard
-FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
 """
+
+
+_SQL_MINHASH_ORACLE = _sql_minhash_replay()
 
 
 # DuckDB replay of the full simhash pipeline over md5-derived bits (same
@@ -723,12 +853,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
 
 def q_dedup_cluster_cc(spark, sf_dir):
     """Canonical representative per near-dup cluster: connected components
-    over the minhash-LSH pair graph, so chains of pairwise near-dups (a~b,
+    over the near-dup pair graph, so chains of pairwise near-dups (a~b,
     b~c, but a!~c) still collapse to ONE keeper — the grouping step every
-    dedup pipeline runs after pair generation."""
-    pairs = q_minhash_lsh_dedup(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    dedup pipeline runs after pair generation. Pairs come from the r=1
+    exact-recall minhash mode (b=16, r=1: miss 2^-16 per qualifying pair),
+    because THIS query's oracle is the exact transitive closure; a corpus
+    pipeline would feed CC the banded (r=4) pairs instead — the CC operator
+    is agnostic to how the edge list was generated."""
+    pairs = minhash_lsh_pairs(
+        _docs_tokens(spark, sf_dir), threshold=0.5, n_hashes=16, n_bands=16
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(pairs)
 
 
@@ -888,9 +1022,9 @@ QUERIES = {
 }
 
 ORACLES = {
-    # minhash refine reproduces the exact jaccard query's rows (banding only
-    # prunes candidates; miss probability 2^-16 per qualifying pair, and the
-    # test corpus is fixed) — so the exact query's SQL is a valid oracle
+    # FULL-pipeline replay of the b=16 x r=4 banding over md5_60 base hashes
+    # (signatures, band join, candidates, refine) — exact by construction,
+    # including the S-curve's designed near-threshold misses
     "minhash_lsh_dedup": _SQL_MINHASH_ORACLE,
     # transitive closure of the same pair graph; MIN over reachable labels
     # is exactly the component minimum the Spark loop converges to

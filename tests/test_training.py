@@ -95,13 +95,72 @@ def test_stratified_sample_broadcasts_strata_dim(spark):
 
 
 def test_minhash_equals_exact_jaccard(spark):
+    """r=1 exact-recall mode (n_hashes == n_bands): banding only prunes
+    candidates (miss 2^-16 per qualifying pair), so the LSH output equals
+    the exact all-pairs join on the fixed corpus."""
     from geojson_vt_spark.analytics import q_ngram_jaccard_dedup
-    from geojson_vt_spark.training import q_minhash_lsh_dedup
+    from geojson_vt_spark.training import _docs_tokens, minhash_lsh_pairs
 
     exact = {tuple(r) for r in q_ngram_jaccard_dedup(spark, SF).collect()}
-    lsh = {tuple(r) for r in q_minhash_lsh_dedup(spark, SF).collect()}
+    lsh = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            _docs_tokens(spark, SF), n_hashes=16, n_bands=16
+        ).collect()
+    }
     assert exact == lsh
     assert len(exact) > 0  # corpus actually contains near-dups
+
+
+def test_minhash_banded_precision_and_high_j_recall(spark):
+    """The web-scale b=16 x r=4 banding: output is an exact SUBSET of the
+    true J>=0.5 pairs (refine makes precision exact), and every
+    high-similarity pair (J >= 0.8, where the S-curve miss is <= 2e-4) is
+    caught on this corpus."""
+    from geojson_vt_spark.analytics import q_ngram_jaccard_dedup
+    from geojson_vt_spark.training import _docs_tokens, minhash_lsh_pairs
+
+    exact = {tuple(r) for r in q_ngram_jaccard_dedup(spark, SF).collect()}
+    lsh = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            _docs_tokens(spark, SF), n_hashes=64, n_bands=16
+        ).collect()
+    }
+    assert lsh <= exact
+    high = {t for t in exact if t[2] >= 0.8}
+    assert high, "corpus must contain high-J pairs for this gate to bite"
+    assert high <= lsh
+
+
+def test_minhash_banding_prunes_low_jaccard_candidates(spark):
+    """The point of r=4: moderately-similar pairs must NOT become candidates.
+    Planted corpus: 40 doc pairs at J~=0.2 (2 shared tokens of 12) and 5
+    pairs at J=1.0. With r=1 most J~=0.09 pairs are candidates
+    (P = 1-(1-J)^16 ~= 78%); with r=4 P = 1-(1-J^4)^16 ~= 0.1% — assert the
+    candidate count collapses while the true dups all survive."""
+    from geojson_vt_spark.training import minhash_band_candidates
+
+    rows = []
+    for i in range(40):
+        # pair (2i, 2i+1): two shared tokens + 10 distinct each -> J = 2/22
+        shared = f"s{i}a s{i}b"
+        rows.append((2 * i, "src", f"{shared} " + " ".join(f"a{i}x{j}" for j in range(10))))
+        rows.append((2 * i + 1, "src", f"{shared} " + " ".join(f"b{i}x{j}" for j in range(10))))
+    for i in range(5):
+        text = " ".join(f"dup{i}t{j}" for j in range(12))
+        rows.append((1000 + 2 * i, "src", text))
+        rows.append((1001 + 2 * i, "src", text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    c1 = {tuple(r) for r in minhash_band_candidates(docs, 16, 16).collect()}
+    c4 = {tuple(r) for r in minhash_band_candidates(docs, 64, 16).collect()}
+    dups = {(1000 + 2 * i, 1001 + 2 * i) for i in range(5)}
+    low = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert dups <= c1 and dups <= c4  # J=1 pairs always collide in every band
+    assert len(c1 & low) >= 25  # r=1: the low-J pairs flood the candidate set
+    assert len(c4 & low) <= 5  # r=4: they are pruned before the refine
 
 
 def test_simhash_exact_recall_by_pigeonhole(spark):
