@@ -91,7 +91,13 @@ def minhash_band_candidates(
     setting — at the cost of S-curve recall near the threshold (~64% at
     J=0.5, >99.98% at J>=0.8): calibrate n_bands/r to the corpus threshold."""
     r = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes, hash_fn)
+    # The band self-join scans its input twice and Spark's exchange reuse
+    # does NOT dedup the two sides (verified on the executed plan: 2 parquet
+    # scans), so the whole token-explode + n_hashes-min aggregation would run
+    # twice. The signature frame is tiny (one narrow row per doc) — pin it
+    # once. At cluster scale this is a persist-to-storage seam; local
+    # checkpoint is its single-JVM equivalent.
+    sig = minhash_signatures(docs, n_hashes, hash_fn).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         "source",
@@ -289,7 +295,12 @@ def q_simhash_dedup(spark, sf_dir, hash_fn: str = "xxhash64"):
     sim = F.lit(0)
     for i in range(16):
         sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
-    sh = agg.select("doc_id", "source", sim.alias("simhash"))
+    # pin the per-doc simhash frame: the band self-join otherwise recomputes
+    # the token explode + 16-sum aggregation once per side (no exchange
+    # reuse across self-join sides — same seam as minhash_band_candidates)
+    sh = agg.select("doc_id", "source", sim.alias("simhash")).localCheckpoint(
+        eager=True
+    )
     bands = sh.select(
         "doc_id",
         "source",
