@@ -17,9 +17,12 @@ Properties vs the reference semantics (documented, invariant-tested):
 
 Execution shape (default, `_batched_levels`): cells nest across zooms, so
 after ONE repartition by the batch's coarsest-zoom anchor cell a numpy
-kernel finishes every zoom of the batch partition-locally; the adaptive
-`batch_plan` gives TWO serial exchange+materialization barriers for any
-zoom range. A per-zoom pure-Column engine (`_column_levels`, one
+kernel finishes every zoom of the batch partition-locally; the geometric
+`batch_plan` (k levels per batch, each anchored at its own coarsest zoom)
+gives ceil(levels/k) serial barriers with per-anchor row counts bounded at
+~4^k * min_points after the first batch — skew-safe on dense-city corpora
+where a single coarse anchor would otherwise hold most of the data.
+A per-zoom pure-Column engine (`_column_levels`, one
 partial-agg shuffle + one checkpoint per zoom, AQE-skew-friendly) remains
 selectable via SPARK_GRAFT_CLUSTER_LEVEL_MODE=column and is structurally
 equality-tested against the batched one. Pass a workdir for parquet
@@ -284,9 +287,13 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
         if len(pdf) > cap:
             raise RuntimeError(
                 f"grid-cluster anchor partition holds {len(pdf)} rows "
-                f"(> {cap}); the batched kernel buffers whole partitions — "
-                "raise spark.sql.shuffle.partitions (anchors rebalance "
-                "automatically) or lower SPARK_GRAFT_CLUSTER_MAX_PARTITION_ROWS"
+                f"(> {cap}); the batched kernel buffers whole partitions and "
+                "hash repartitioning cannot split one hot anchor cell — "
+                "lower SPARK_GRAFT_CLUSTER_LEVEL_BATCH (finer anchors per "
+                "batch) or set SPARK_GRAFT_CLUSTER_LEVEL_MODE=column (the "
+                "partial-agg engine, which never buffers a partition); raise "
+                "SPARK_GRAFT_CLUSTER_MAX_PARTITION_ROWS only if the executor "
+                "heap genuinely fits the batch"
             )
         x = pdf["x"].to_numpy(np.float64)
         y = pdf["y"].to_numpy(np.float64)
@@ -358,14 +365,15 @@ def _batched_levels(
     workdir: Optional[str],
 ) -> None:
     """Batched engine: ONE anchor-cell exchange + ONE materialization per
-    level batch (adaptive plan: two batches total, see `batch_plan`)
+    level batch (geometric plan: k levels per batch, see `batch_plan`)
     instead of per zoom — the serial barrier count is what a
     bandwidth-bound 100 TB loop actually pays for.
 
     Skew stays bounded without AQE help: a partition's work is linear in its
-    rows, the frontier after any level is capped by that level's occupied
-    cell count, and anchor cells are far more numerous than partitions at
-    every batch (coarse anchors only ever see a collapsed frontier)."""
+    rows; batch 1 anchors only k-1 levels below max_zoom (dense corpora
+    still span many anchors there), and every later batch's per-anchor row
+    count is capped at ~4^k * min_points by the previous batch's frontier
+    collapse (see batch_plan)."""
     spark = frontier.sparkSession
     # the kernel buffers whole partitions anyway, so cross Arrow in big
     # batches: fewer JVM->pandas conversions and concat pieces per task
@@ -385,34 +393,35 @@ def _batched_levels(
 
 
 def batch_plan(o: ClusterOptions, shuffle_partitions: int) -> list:
-    """Group the zoom levels (descending) into exchange batches.
+    """Group the zoom levels (descending) into GEOMETRIC exchange batches:
+    fixed chunks of k levels, each batch anchored (by `_run_batches`) at its
+    OWN coarsest zoom.
 
-    Adaptive default: ONE batch down to ``z_floor`` — the coarsest zoom
-    whose full anchor grid, (extent*2^z/radius)^2 cells, still offers >= 64
-    anchors per shuffle partition (parallelism + bounded skew) — and one
-    final batch for the remaining coarse zooms, whose frontier is already
-    collapsed to at most the occupied-cell count of z_floor (thousands of
-    rows), where anchor scarcity is irrelevant. Serial barrier count is
-    therefore 2 for any realistic option set, independent of max_zoom.
+    Why not one deep batch anchored at a coarse z_floor (the round-2 plan):
+    a single z_floor anchor cell is ~10^2 km wide at default options, so a
+    dense-city corpus lands most raw points in ONE anchor partition and one
+    task then runs every level of the batch over most of the data — hash
+    partitioning by anchor key cannot split that hot cell. Capping every
+    batch at k levels bounds skew structurally instead:
 
-    ``SPARK_GRAFT_CLUSTER_LEVEL_BATCH`` overrides with fixed-size chunks.
+    * batch 1 anchors at max_zoom-k+1 — fine enough that even a dense city
+      spans many anchor cells (the data-heavy top of the pyramid keeps its
+      parallelism);
+    * every later batch's incoming frontier is already collapsed to at most
+      ~min_points rows per cell of the PREVIOUS batch's coarsest zoom, so a
+      batch spanning k levels holds at most ~4^k * min_points rows per
+      anchor (256*min_points at the default k=4) — a trivially small
+      partition-local numpy workload, independent of corpus size or skew.
+
+    The cost is ceil(levels/k) serial barriers instead of 2; all barriers
+    after the first shuffle a collapsed (cell-bounded) frontier, so the
+    added wall-clock is per-barrier fixed cost, not data volume.
+
+    ``SPARK_GRAFT_CLUSTER_LEVEL_BATCH`` overrides k (default 4).
     """
     zs = list(range(o.max_zoom, o.min_zoom - 1, -1))
-    fixed = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH")
-    if fixed:
-        k = max(1, int(fixed))
-        return [zs[i : i + k] for i in range(0, len(zs), k)]
-    min_anchors = 64 * max(1, shuffle_partitions)
-    z_floor = o.min_zoom
-    for z in range(o.min_zoom, o.max_zoom + 1):
-        if (o.extent * (2.0 ** z) / o.radius) ** 2 >= min_anchors:
-            z_floor = z
-            break
-    else:
-        return [zs]  # even max_zoom's grid is tiny: no parallelism to lose
-    head = [z for z in zs if z >= z_floor]
-    tail = [z for z in zs if z < z_floor]
-    return [b for b in (head, tail) if b]
+    k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "4")))
+    return [zs[i : i + k] for i in range(0, len(zs), k)]
 
 
 def _run_batches(

@@ -452,3 +452,84 @@ def test_grid_engines_handle_world_copy_coords(spark):
     for z in a:
         assert a[z] == b[z], f"zoom {z}: engines disagree on world copies"
         assert sum(num for num, _ in a[z].values()) == n
+
+
+def test_grid_dense_city_skew_balanced_and_equivalent(spark):
+    """Dense-city corpus: 80% of points inside one ~z2-cell-sized box (the
+    shape tests/test_skew.py uses for the pyramid). The geometric batch plan
+    anchors batch 1 only k-1 levels below max_zoom, so the city spreads over
+    many anchor cells; the round-2 plan anchored the whole head batch at a
+    coarse z_floor whose single hot cell held most rows. Gates: (a) the
+    hottest batch-1 anchor holds a bounded share of the corpus while the old
+    coarse anchoring provably concentrates it, (b) engines still agree."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.cluster.grid import batch_plan, build_grid_trees
+
+    n = 6000
+    # 80% inside a 0.01-wide box at (0.30, 0.30); 20% uniform world
+    city = F.col("id") % 5 != 0
+    u1 = F.pmod(F.col("id") * 2654435761, F.lit(99991)) / 99991.0
+    u2 = F.pmod(F.col("id") * 2246822519 + 7, F.lit(99991)) / 99991.0
+    pts = spark.range(n).select(
+        F.col("id").alias("idx"),
+        F.when(city, 0.30 + u1 * 0.01).otherwise(u1).alias("px"),
+        F.when(city, 0.30 + u2 * 0.01).otherwise(u2).alias("py"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("tags"),
+    ).localCheckpoint(eager=True)
+    opts = ClusterOptions(max_zoom=10)
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = batch_plan(opts, parts)
+    assert len(plan[0]) <= 4, plan  # batch 1 is capped, not the whole head
+
+    xs = np.array([r.px for r in pts.collect()], dtype=np.float64)
+    ys = np.array([r.py for r in pts.collect()], dtype=np.float64)
+
+    def hottest_share(anchor_zoom):
+        r = opts.radius / (opts.extent * (2.0 ** anchor_zoom))
+        cx = np.floor(xs.astype(np.float32).astype(np.float64) / r)
+        cy = np.floor(ys.astype(np.float32).astype(np.float64) / r)
+        key = cx * 1e9 + cy
+        _, counts = np.unique(key, return_counts=True)
+        return counts.max() / n
+
+    # new plan: batch 1 anchors at its own coarsest zoom -> city spreads out
+    assert hottest_share(plan[0][-1]) < 0.25
+    # the round-2 z_floor anchoring (coarsest zoom with >= 64*partitions
+    # anchors) concentrates the city into one anchor — the failure this
+    # plan replaces
+    min_anchors = 64 * max(1, parts)
+    z_floor = next(
+        z
+        for z in range(0, opts.max_zoom + 1)
+        if (opts.extent * (2.0 ** z) / opts.radius) ** 2 >= min_anchors
+    )
+    assert hottest_share(z_floor) > 0.7
+
+    def snap(mode):
+        old = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE")
+        os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = mode
+        try:
+            trees = build_grid_trees(pts, opts, n)
+            return {
+                z: {
+                    r["src"]: (r["num"], r["parent"])
+                    for r in trees[z].select("src", "num", "parent").collect()
+                }
+                for z in (0, 3, 7, 10)
+            }
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"]
+            else:
+                os.environ["SPARK_GRAFT_CLUSTER_LEVEL_MODE"] = old
+
+    a, b = snap("batched"), snap("column")
+    for z in a:
+        assert a[z] == b[z], f"zoom {z}: engines disagree on dense-city corpus"
+        assert sum(num for num, _ in a[z].values()) == n
