@@ -75,7 +75,7 @@ def _checkpoint(df: DataFrame, workdir: Optional[str], name: str) -> DataFrame:
 
 
 def _widen(df: DataFrame, n_points: int) -> DataFrame:
-    """Narrow level frame (x,y,src,parent,num) -> index.TREE_SCHEMA columns.
+    """Narrow level frame (x,y,src,parent,num,props) -> index.TREE_SCHEMA.
 
     Every dropped column is a pure function of the stored ones in grid mode,
     so reconstruction is lazy Column math over the checkpoint (no extra job):
@@ -83,7 +83,11 @@ def _widen(df: DataFrame, n_points: int) -> DataFrame:
         src = packed*32 + (zorig + n_points) (supercluster.js:153 encoding),
         so packed = (src - n_points) >> 5 exactly (zorig < 32);
       * qx/qy are the JS-fround quantizations of x/y (f32∘f32 = f32);
-      * props is always NULL in grid mode (tags join in at query time).
+      * props: reduce-folded JSON on cluster rows (batched kernel fold,
+        reference cluster-tile-index.ts:416-437); point rows carry their raw
+        tags in the narrow frame (the kernel's fold input) which is masked
+        here — the TREE_SCHEMA contract is props only on clusters, singleton
+        tags join in at query time.
     """
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
     is_pt = F.col("src") < F.lit(n_points)
@@ -100,7 +104,7 @@ def _widen(df: DataFrame, n_points: int) -> DataFrame:
         "src",
         "parent",
         "num",
-        F.lit(None).cast("string").alias("props"),
+        F.when(F.col("num") > 1, F.col("props")).alias("props"),
     )
 
 
@@ -122,23 +126,36 @@ def build_grid_trees(
     * ``column`` — ``_column_levels``: the pure-Column per-level loop
       (one hash exchange + one checkpoint per zoom).
 
-    Both shuffle and checkpoint a NARROW frame — (x, y, src, parent, num) —
-    about half the bytes of the full tree schema; `_widen` reconstructs the
-    derived columns lazily at the dict boundary. In a bandwidth-bound loop
-    the byte cut is wall-clock and scaling, not cosmetics."""
+    Both shuffle and checkpoint a NARROW frame — (x, y, src, parent, num,
+    props) — about half the bytes of the full tree schema (props is NULL
+    unless a reduce fold is configured); `_widen` reconstructs the derived
+    columns lazily at the dict boundary. In a bandwidth-bound loop the byte
+    cut is wall-clock and scaling, not cosmetics."""
     o = options
     _validate_cell_range(o)
     f32 = lambda c: c.cast("float").cast("double")  # noqa: E731 — JS fround
 
+    # With a reduce fold, point rows carry their raw tags JSON into the
+    # narrow frame (the kernel maps+folds them per merged cell); without one
+    # the column is NULL and costs nothing on the shuffle wire.
+    props0 = (
+        F.col("tags") if o.reduce_fn is not None else F.lit(None).cast("string")
+    )
     level = points_df.select(
         f32(F.col("px")).alias("x"),
         f32(F.col("py")).alias("y"),
         F.col("idx").alias("src"),
         F.lit(-1).cast("long").alias("parent"),
         F.lit(1).cast("long").alias("num"),
+        props0.alias("props"),
     )
     trees: dict[int, DataFrame] = {}
     mode = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_MODE", "batched")
+    if o.reduce_fn is not None:
+        # map/reduce property folds run in the batched kernel only — the
+        # pure-Column engine cannot evaluate a user Python reduce without
+        # giving up its no-Python property, so it stays the no-props path.
+        mode = "batched"
     if mode == "batched" and o.max_zoom >= o.min_zoom:
         # no eager materialization of the raw points: the first batch's own
         # checkpoint is the first barrier (its exchange re-shuffles the rows
@@ -182,7 +199,7 @@ def _column_levels(
             return df.localCheckpoint(eager=True)
         return df.cache()
 
-    narrow_cols = ["x", "y", "src", "parent", "num"]
+    narrow_cols = ["x", "y", "src", "parent", "num", "props"]
     for z in range(o.max_zoom, o.min_zoom - 1, -1):
         r = o.radius / (o.extent * (2.0 ** z))
         cur = frontier
@@ -225,6 +242,7 @@ def _column_levels(
                 "parent"
             ),
             "num",
+            "props",
             F.coalesce(F.col("merged"), F.lit(False)).alias("merged"),
             F.lit(0).alias("rk"),
         )
@@ -236,6 +254,7 @@ def _column_levels(
                 F.col("cid").alias("src"),
                 F.lit(-1).cast("long").alias("parent"),
                 F.col("cell_num").alias("num"),
+                F.lit(None).cast("string").alias("props"),
                 F.lit(True).alias("merged"),
                 F.lit(1).alias("rk"),
             )
@@ -256,9 +275,10 @@ def _column_levels(
         trees[z] = _widen(frontier, n_points)
 
 
-_NARROW_COLS = ["x", "y", "src", "parent", "num"]
+_NARROW_COLS = ["x", "y", "src", "parent", "num", "props"]
 _BATCH_SCHEMA = (
-    "level int, fr boolean, x double, y double, src long, parent long, num long"
+    "level int, fr boolean, x double, y double, src long, parent long, "
+    "num long, props string"
 )
 
 
@@ -272,8 +292,20 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
     inside the cell it merged in — no cell ever spans two partitions. (An
     ulp-edge centroid can land on a cell boundary and split a cell into two
     finer clusters — within grid mode's documented 'finer, never coarser'
-    contract.)"""
+    contract.)
+
+    Property map/reduce (reference cluster-tile-index.ts:416-437): when
+    reduce_fn is set, each merged cell folds its members' mapped properties
+    — point rows map their raw tags JSON (carried in `props`), cluster rows
+    contribute their already-folded props. The fold touches only rows that
+    merge this level (pure numpy otherwise). Grid mode is order-free, so
+    the fold order within a cell is unspecified: reduce must be commutative
+    and associative — the same algebraic contract that makes any
+    distributed fold (and this engine's 'finer, never coarser' clustering)
+    well-defined. The reference folds in kdbush visit order instead; for
+    non-commutative reduces only exact mode reproduces it."""
     radius, extent, min_points = o.radius, o.extent, o.min_points
+    map_fn, reduce_fn = o.map_fn, o.reduce_fn
 
     def kern(it):
         import numpy as np
@@ -300,6 +332,17 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
         src = pdf["src"].to_numpy(np.int64)
         parent = pdf["parent"].to_numpy(np.int64)
         num = pdf["num"].to_numpy(np.int64)
+        props = pdf["props"].to_numpy(dtype=object)
+        props[pd.isna(props)] = None
+
+        def _mapped(k):
+            import json
+
+            if num[k] > 1:  # cluster: already-folded props (fresh dict)
+                return None if props[k] is None else json.loads(props[k])
+            raw = None if props[k] is None else json.loads(props[k])
+            return map_fn(raw) if map_fn is not None else raw
+
         for z in levels:
             r = radius / (extent * (2.0 ** z))
             # identical float math to the Column path: fround then bin
@@ -328,10 +371,29 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
                     "src": src,
                     "parent": np.where(row_merged, cid_cell[inv], parent),
                     "num": num,
+                    "props": props,
                 }
             )
             # next frontier: pass-through rows + new weighted-centroid clusters
             m = merged_cell
+            n_new = int(m.sum())
+            cprops = np.full(n_new, None, dtype=object)
+            if reduce_fn is not None and n_new:
+                import json
+
+                order = np.argsort(inv, kind="stable")
+                groups = np.split(order, np.cumsum(counts)[:-1])
+                for out_i, ci in enumerate(np.flatnonzero(m)):
+                    acc = None
+                    for k in groups[ci]:
+                        mv = _mapped(k)
+                        if acc is None:
+                            # clone before folding in place (the reference
+                            # clones the first mapped value the same way)
+                            acc = dict(mv) if isinstance(mv, dict) else mv
+                        else:
+                            reduce_fn(acc, mv)
+                    cprops[out_i] = None if acc is None else json.dumps(acc)
             wx = np.bincount(inv, weights=x * num)[m] / cell_num[m]
             wy = np.bincount(inv, weights=y * num)[m] / cell_num[m]
             keep = ~row_merged
@@ -339,9 +401,10 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
             y = np.concatenate([y[keep], wy])
             src = np.concatenate([src[keep], cid_cell[m]])
             parent = np.concatenate(
-                [parent[keep], np.full(int(m.sum()), -1, np.int64)]
+                [parent[keep], np.full(n_new, -1, np.int64)]
             )
             num = np.concatenate([num[keep], cell_num[m]])
+            props = np.concatenate([props[keep], cprops])
         yield pd.DataFrame(
             {
                 "level": np.full(x.size, levels[-1], np.int32),
@@ -351,6 +414,7 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
                 "src": src,
                 "parent": parent,
                 "num": num,
+                "props": props,
             }
         )
 

@@ -533,3 +533,68 @@ def test_grid_dense_city_skew_balanced_and_equivalent(spark):
     for z in a:
         assert a[z] == b[z], f"zoom {z}: engines disagree on dense-city corpus"
         assert sum(num for num, _ in a[z].values()) == n
+
+
+def test_grid_reduce_aggregation(spark, places):
+    """O21 map/reduce property folds on the grid scale path (reference
+    cluster-tile-index.ts:416-437): every cluster's folded sum equals its
+    children's contributions, every zoom conserves the global total, and the
+    folded props surface through get_tile cluster tags. (Grid clusters are
+    finer than exact mode's, so the check is algebraic consistency, not the
+    exact-mode byte parity of test_reduce_aggregation.)"""
+    import json as _json
+
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.model import FEATURE_SCHEMA
+    from geojson_vt_spark.operators.engine import geojson_to_feature_rows
+
+    def map_fn(props):
+        return {"sum": (props or {}).get("scalerank") or 0}
+
+    def reduce_fn(a, b):
+        a["sum"] += b["sum"]
+
+    rows = geojson_to_feature_rows(
+        {"type": "FeatureCollection", "features": places}, Options(cluster=True)
+    )
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    idx = ClusterTileIndexSpark(
+        spark,
+        ClusterOptions(radius=100, map_fn=map_fn, reduce_fn=reduce_fn),
+        method="grid",
+    )
+    idx.initialize_df(df)
+
+    pts_tags = {
+        r["idx"]: (None if r["tags"] is None else _json.loads(r["tags"]))
+        for r in idx._points_df.collect()
+    }
+    total = sum(map_fn(t)["sum"] for t in pts_tags.values())
+    assert total > 0
+
+    for z in (0, 4, 8, idx.options.max_zoom + 1):
+        s = 0
+        for r in idx.tree_df(z).select("src", "num", "props").collect():
+            if r.num > 1:
+                assert r.props is not None, f"zoom {z}: cluster without fold"
+                s += _json.loads(r.props)["sum"]
+            else:
+                s += map_fn(pts_tags[r.src])["sum"]
+        assert s == total, f"zoom {z}: folded total {s} != {total}"
+
+    # tree consistency: parent fold == children contributions (get_children)
+    checked = 0
+    for r in idx.tree_df(4).filter("num > 1").limit(12).collect():
+        psum = _json.loads(r.props)["sum"]
+        ksum = 0
+        for kid in idx.get_children(r.src):
+            kp = kid.get("properties") or {}
+            ksum += kp["sum"] if kp.get("cluster") else map_fn(kp)["sum"]
+        assert ksum == psum, f"cluster {r.src}: children {ksum} != fold {psum}"
+        checked += 1
+    assert checked > 0
+
+    # serving surface: grid get_tile cluster tags carry the folded value
+    tile = idx.get_tile(0, 0, 0)
+    cl = [f for f in tile if (f.get("tags") or {}).get("cluster")]
+    assert cl and all("sum" in f["tags"] for f in cl)
