@@ -29,7 +29,7 @@ import math
 from typing import Optional
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..config import ClusterOptions
 from ..functions.projection import project_x, project_y, unproject_x, unproject_y
@@ -250,19 +250,15 @@ class ClusterTileIndexSpark:
         o = self.options
         return max(o.min_zoom, min(int(math.floor(z)), o.max_zoom + 1))
 
-    def _tree_rows_df(self, z: int, pred):
-        """Range-query plan: predicate pushdown + ORDER BY vrank + point join.
+    def _join_points(self, tree_f: DataFrame) -> DataFrame:
+        """Attach singleton point data (px/py/id/tags) to filtered tree rows.
 
-        The tile/bbox predicate makes the filtered tree the SMALL side, so
-        that is what gets broadcast: first a broadcast semi-join prunes the
-        (potentially 10^9-row) points table down to the singletons inside the
-        query window, then the pruned points — now window-sized — are the
-        broadcast build side of the left join. The full points table is never
-        broadcast (plan-asserted in tests/test_plans.py)."""
-        tree = self.tree_df(z)
-        if tree is None:
-            return None
-        tree_f = tree.filter(pred)
+        The filter makes the tree side SMALL, so that is what gets broadcast:
+        first a broadcast semi-join prunes the (potentially 10^9-row) points
+        table down to the singletons inside the window, then the pruned
+        points — now window-sized — are the broadcast build side of the left
+        join. The full points table is never broadcast (plan-asserted in
+        tests/test_plans.py)."""
         pts = self.points_df()
         needed = tree_f.filter(F.col("num") == 1).select(
             F.col("src").alias("_want_idx")
@@ -270,14 +266,18 @@ class ClusterTileIndexSpark:
         pts_window = pts.join(
             F.broadcast(needed), F.col("idx") == F.col("_want_idx"), "leftsemi"
         )
-        return (
-            tree_f.join(
-                F.broadcast(pts_window),
-                (F.col("src") == F.col("idx")) & (F.col("num") == 1),
-                "left",
-            )
-            .orderBy("vrank")
+        return tree_f.join(
+            F.broadcast(pts_window),
+            (F.col("src") == F.col("idx")) & (F.col("num") == 1),
+            "left",
         )
+
+    def _tree_rows_df(self, z: int, pred):
+        """Range-query plan: predicate pushdown + ORDER BY vrank + point join."""
+        tree = self.tree_df(z)
+        if tree is None:
+            return None
+        return self._join_points(tree.filter(pred)).orderBy("vrank")
 
     def _tree_rows(self, z: int, pred) -> list:
         out = self._tree_rows_df(z, pred)
@@ -420,29 +420,71 @@ class ClusterTileIndexSpark:
         return [self._row_to_geojson(r) for r in rows]
 
     def get_leaves(self, cluster_id: int, limit: int = 10, offset: int = 0) -> list:
+        """Paginated leaves in reference DFS order (cluster-tile-index.ts:
+        294-320) as a level-synchronous window query — ONE Spark job round
+        per visited origin zoom, not one per visited cluster node.
+
+        DFS order (children sorted by vrank, recursing in order) assigns
+        every leaf a global start index: start(child) = start(parent) +
+        sum(num) over earlier siblings — a per-parent window cumsum over the
+        materialized vrank column. A subtree is expanded only when its
+        [start, start+num) range overlaps [offset, offset+limit), which is
+        exactly the reference's point_count skip, so the per-zoom frontier
+        stays O(limit) and the final sort-by-start reproduces leaf order.
+        Child origin zooms are strictly greater than their parent's, so
+        processing zooms in ascending order visits each tree at most once."""
         limit = limit or 10
         offset = offset or 0
+        lo, hi = offset, offset + limit
+        err = ValueError(f"No cluster with the specified id: {cluster_id}")
+        frontier: dict[int, dict[int, int]] = {
+            self._origin_zoom(cluster_id): {cluster_id: 0}
+        }
         leaves: list = []
-        self._append_leaves(leaves, cluster_id, limit, offset, 0)
-        return leaves
-
-    def _append_leaves(self, result, cluster_id, limit, offset, skipped) -> int:
-        for child in self.get_children(cluster_id):
-            props = child.get("properties")
-            if props and props.get("cluster"):
-                if skipped + props["point_count"] <= offset:
-                    skipped += props["point_count"]
-                else:
-                    skipped = self._append_leaves(
-                        result, props["cluster_id"], limit, offset, skipped
-                    )
-            elif skipped < offset:
-                skipped += 1
-            else:
-                result.append(child)
-            if len(result) == limit:
+        first = True
+        while frontier:
+            z = min(frontier)
+            group = frontier.pop(z)
+            tree = self.tree_df(z)
+            if tree is None:
+                if first:
+                    raise err
                 break
-        return skipped
+            ids = list(group)
+            start_of = F.create_map(
+                *[F.lit(v) for cid in ids for v in (cid, group[cid])]
+            )
+            w = (
+                Window.partitionBy("parent")
+                .orderBy("vrank")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            rows_df = (
+                tree.filter(F.col("parent").isin(ids))
+                .withColumn(
+                    "start",
+                    start_of[F.col("parent")]
+                    + F.coalesce(F.sum("num").over(w), F.lit(0)),
+                )
+                .filter((F.col("start") < hi) & (F.col("start") + F.col("num") > lo))
+            )
+            rows = self._join_points(rows_df).collect()
+            if first:
+                # a valid cluster id whose whole subtree is outside the
+                # window returns [], but an UNKNOWN id must raise like the
+                # reference — probe existence only in that ambiguous case
+                if not rows and tree.filter(
+                    F.col("parent") == cluster_id
+                ).limit(1).count() == 0:
+                    raise err
+                first = False
+            for r in rows:
+                if r.num > 1:
+                    frontier.setdefault(self._origin_zoom(r.src), {})[r.src] = r.start
+                elif lo <= r.start < hi:
+                    leaves.append((r.start, self._row_to_geojson(r)))
+        leaves.sort(key=lambda t: t[0])
+        return [g for _, g in leaves]
 
     def get_cluster_expansion_zoom(self, cluster_id: int) -> int:
         return self._origin_zoom(cluster_id)

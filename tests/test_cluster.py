@@ -598,3 +598,41 @@ def test_grid_reduce_aggregation(spark, places):
     tile = idx.get_tile(0, 0, 0)
     cl = [f for f in tile if (f.get("tags") or {}).get("cluster")]
     assert cl and all("sum" in f["tags"] for f in cl)
+
+
+def test_leaves_one_shot_job_count(default_index):
+    """get_leaves is a level-synchronous window query: Spark job rounds are
+    bounded by visited origin zooms (x small constant for the broadcast
+    builds + collect), NOT by visited cluster nodes — the old per-node
+    recursive DFS issued 3+ jobs per visited cluster."""
+    sc = default_index.spark.sparkContext
+    # warm the per-zoom tree DataFrames outside the measured group (cache
+    # materialization is build cost, not per-call serving cost)
+    default_index.get_leaves(163, 10, 5)
+    sc.setJobGroup("leaves-probe", "one-shot get_leaves")
+    try:
+        leaves = default_index.get_leaves(163, 10, 5)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(leaves) == 10
+    tracker = default_index.spark.sparkContext.statusTracker()
+    n_jobs = len(tracker.getJobIdsForGroup("leaves-probe"))
+    assert 0 < n_jobs <= 16, n_jobs
+
+
+def test_leaves_deep_offset_matches_reference_order(default_index):
+    """Windowed pagination == sequential DFS: page through a big cluster in
+    chunks and check against one full pull."""
+    cid = 163
+    full = default_index.get_leaves(cid, 1000, 0)
+    total = sum(
+        (c["properties"] or {}).get("point_count", 1)
+        for c in default_index.get_children(cid)
+    )
+    assert total == 16 and len(full) == total
+    pages = []
+    step = 4
+    for off in range(0, total, step):
+        pages.extend(default_index.get_leaves(cid, step, off))
+    assert [p["properties"] for p in pages] == [p["properties"] for p in full]
+    assert [p["geometry"] for p in pages] == [p["geometry"] for p in full]
