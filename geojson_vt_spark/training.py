@@ -827,19 +827,126 @@ def cc_round(both: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected edge list (src, dst) ->
+def _cc_bidir(pairs: DataFrame) -> DataFrame:
+    """Canonical bidirectional edge frame: both directions, no self-loops,
+    distinct. One shuffle (the distinct)."""
+    return (
+        pairs.union(pairs.select(F.col("dst"), F.col("src")))
+        .toDF("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_step(both: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+    small-star(u): m = min(N^-(u) ∪ {u}) over smaller neighbors only; emit
+    (v, m) for v in N^-(u) and (u, m).
+
+    Plan per step: one partial-agg min per vertex + one equi-join back to
+    the edges — the same single-shuffle shape as cc_round, but the edge set
+    contracts toward stars in O(log n) rounds on ANY graph diameter."""
+    nb = both if large else both.where(F.col("dst") < F.col("src"))
+    m = (
+        nb.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+    )
+    if large:
+        return (
+            both.where(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+    joined = nb.join(m, "src")
+    return joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        joined.select(F.col("src"), F.col("m").alias("dst"))
+    )
+
+
+def _edge_sig(both: DataFrame) -> tuple:
+    """Cheap fixed-point detector: (row count, two order-free modular hash
+    sums). Hashes are reduced mod two distinct Mersenne-scale primes before
+    summing so the agg stays exact in int64 under ANSI mode (raw xxhash64
+    sums overflow)."""
+    h = F.xxhash64("src", "dst")
+    row = both.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.pmod(h, F.lit(2147483647))).alias("h1"),
+        F.sum(F.pmod(h, F.lit(2147483629))).alias("h2"),
+    ).collect()[0]
+    return (row["c"], row["h1"], row["h2"])
+
+
+def connected_components_star(edges: DataFrame, _stats: dict = None) -> DataFrame:
+    """Alternating large-star/small-star contraction: converges in O(log n)
+    driver-synced rounds regardless of component diameter — the adversarial-
+    diameter mode (chained-template corpora) of `connected_components`,
+    whose min-label propagation pays O(diameter) rounds instead."""
+    both = _cc_bidir(edges).localCheckpoint(eager=True)
+    # vertex universe up front: star contraction keeps every vertex incident
+    # to an edge, but self-loop-only vertices in the INPUT must still label
+    # themselves (parity with the label-propagation mode)
+    verts = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_sig(both)
+    rounds = 0
+    while True:
+        both = _cc_bidir(_star_step(both, large=True)).localCheckpoint(eager=True)
+        both = _cc_bidir(_star_step(both, large=False)).localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = _edge_sig(both)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if _stats is not None:
+        _stats["star_rounds"] = rounds
+    labels = (
+        both.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("_mn"), F.col("src")).alias("cluster_rep"),
+        )
+    )
+    return verts.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    algorithm: str = "auto",
+    round_budget: int = 8,
+    _stats: dict = None,
+) -> DataFrame:
+    """Connected components over an undirected edge list (src, dst) ->
     (doc_id, cluster_rep) for every vertex, rep = component minimum.
 
-    Scale shape: each round is ONE shuffle (edge-label equi-join + min
-    aggregate); rounds are bounded by component diameter. Near-dup graphs
-    are shallow (pairs above a Jaccard threshold form near-cliques), so this
-    converges in 2-3 rounds; for adversarial diameters the alternating
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") is the drop-in replacement — the
-    per-round plan (equi-join + partial-agg min) is identical. Labels are
-    localCheckpoint-ed per round: lineage cut + one stable frame per round,
-    the same driver-synchronized-loop pattern as the kNN ring search."""
+    * ``label`` — min-label propagation: ONE shuffle per round (edge-label
+      equi-join + partial-agg min), rounds bounded by component diameter.
+      Near-dup graphs are near-cliques, so this converges in 2-3 rounds.
+    * ``star`` — large-star/small-star contraction (O(log n) rounds on any
+      diameter), see `connected_components_star`.
+    * ``auto`` (default) — label propagation with a round budget; if a
+      pathological diameter (chained templates) exhausts the budget, the
+      partial labels join the edge set as (vertex -> label) edges — keeping
+      the contraction already paid for — and star mode finishes.
+
+    Labels are localCheckpoint-ed per round: lineage cut + one stable frame
+    per round, the same driver-synchronized-loop pattern as the kNN ring
+    search."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    if algorithm == "star":
+        return connected_components_star(edges, _stats=_stats)
     both = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
     both = both.distinct().localCheckpoint(eager=True)
     labels = (
@@ -848,8 +955,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     while True:
         new_labels = cc_round(both, labels).localCheckpoint(eager=True)
+        rounds += 1
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -859,6 +968,19 @@ def connected_components(edges: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if algorithm == "auto" and rounds >= round_budget:
+            if _stats is not None:
+                _stats["label_rounds"] = rounds
+                _stats["escalated"] = True
+            contracted = both.unionByName(
+                labels.where(F.col("doc_id") != F.col("label")).select(
+                    F.col("doc_id").alias("src"), F.col("label").alias("dst")
+                )
+            )
+            return connected_components_star(contracted, _stats=_stats)
+    if _stats is not None:
+        _stats["label_rounds"] = rounds
+        _stats["escalated"] = False
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 

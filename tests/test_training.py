@@ -374,3 +374,73 @@ def test_streaming_stateful_dedup_matches_batch(spark, tmp_path):
     assert len(got) > 0
     # no planted duplicate admitted (its original text was seen earlier)
     assert all(doc_id < 10_000_000 for _, doc_id, _ in got)
+
+
+def test_connected_components_star_chain_logn_rounds(spark):
+    """Adversarial-diameter graph: a 4096-vertex chain. Star contraction
+    must converge in O(log n) driver-synced rounds (label propagation would
+    pay O(n)) and label every vertex with the component minimum."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.training import connected_components_star
+
+    n = 4096
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats = {}
+    labels = connected_components_star(edges, _stats=stats)
+    bad = labels.where(F.col("cluster_rep") != 0).count()
+    total = labels.count()
+    assert bad == 0 and total == n
+    assert stats["star_rounds"] <= 3 * int(math.log2(n)) + 5, stats
+
+
+def test_connected_components_auto_escalates_and_matches(spark):
+    """auto mode: a long chain exhausts the label-propagation budget and
+    finishes via star — with identical output to pure label propagation."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.training import connected_components
+
+    n = 300
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).union(spark.createDataFrame([(9000, 9001), (9001, 9002)], ["src", "dst"]))
+    stats = {}
+    auto = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(
+            edges, algorithm="auto", round_budget=3, _stats=stats
+        ).collect()
+    }
+    assert stats["escalated"] is True
+    label = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(edges, algorithm="label").collect()
+    }
+    assert auto == label
+    assert set(auto.values()) == {0, 9000}
+
+
+def test_connected_components_star_matches_label_on_pair_graph(spark):
+    """Star and label modes agree on a realistic near-dup shape (cliques +
+    a bridge + isolated pair)."""
+    from geojson_vt_spark.training import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 7), (7, 8), (20, 21), (40, 41), (41, 40)],
+        ["src", "dst"],
+    )
+    a = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    b = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(edges, algorithm="label").collect()
+    }
+    assert a == b
+    assert a[8] == 1 and a[21] == 20 and a[41] == 40
