@@ -464,6 +464,133 @@ SELECT vec_id, cos, rank FROM (
 """
 
 
+def ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Batch-query ANN join: top-k cosine neighbors in `corpus` for EVERY
+    row of `queries` (both frames: (vec_id, embedding)) — the kNN-join
+    generalization of q_ann_cosine_topk_lsh's single broadcast query.
+
+    Candidates come from a banded hyperplane-signature equi-join on
+    (band, bval) — one shuffle, never a cartesian: by pigeonhole every pair
+    within Hamming <= n_bands-1 signature bits shares a band. Candidate ids
+    are deduped BEFORE the embeddings join back (ids-only distinct keeps
+    the shuffle narrow), then the exact cosine refine + per-query top-k
+    (window over candidates only, partitioned by query — no global sort)
+    makes precision exact; recall follows the multi-probe banding bound
+    (~4e-4 miss at cos >= 0.99 with 8 bits / 4 bands). The query side is
+    broadcast into the refine (ANN-join batches are query-small by nature);
+    widen n_bits to shrink buckets at corpus scale."""
+    planes = _hyperplanes(n_bits, 64)
+    bits_per_band = n_bits // n_bands
+    bmask = (1 << bits_per_band) - 1
+
+    def _bands(df, idcol):
+        eb = df.select(
+            F.col("vec_id").alias(idcol), _bucket_col(planes).alias("bucket")
+        )
+        return eb.select(
+            idcol,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("bucket"), i * bits_per_band)
+                            .bitwiseAND(F.lit(bmask))
+                            .alias("bval"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idcol, "bb.band", "bb.bval")
+
+    # _bucket_col reads the `embedding` column, so keep it in scope per side
+    qb = _bands(queries.select("vec_id", "embedding"), "q_id")
+    cb = _bands(corpus.select("vec_id", "embedding"), "c_id")
+    cand = (
+        qb.join(cb, ["band", "bval"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qe = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    ce = corpus.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    ref = cand.join(F.broadcast(qe), "q_id").join(ce, "c_id")
+    cos = F.round(_cos_cols("ce", "qe"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        ref.select("q_id", "c_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def q_ann_join(spark, sf_dir):
+    """Driver entry: queries = vec_id < 8, corpus = the rest, top-5 each.
+    Full-pipeline DuckDB oracle (exact int64 hyperplane replay + the same
+    banded candidate join, the proven ann_cosine_topk_lsh move)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_join(
+        e.where(F.col("vec_id") < 8), e.where(F.col("vec_id") >= 8), k=5
+    )
+
+
+SQL_ANN_JOIN = """
+WITH planes AS (
+  SELECT p, list(w ORDER BY d) AS wvec FROM (
+    SELECT ps.p AS p, ds.d AS d,
+           ((((ps.p * 64 + ds.d) * 2654435761 + 2654435769) % 4294967296)
+            / 4294967296.0) * 2.0 - 1.0 AS w
+    FROM generate_series(0, 7) AS ps(p), generate_series(0, 63) AS ds(d)
+  ) GROUP BY p
+),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN
+           list_reduce(list_transform(list_zip(e.embedding, pl.wvec),
+                       q -> CAST(q[1] AS DOUBLE) * q[2]), (x, y) -> x + y) > 0
+           THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id
+),
+qb AS (
+  SELECT s.vec_id AS q_id, b.band, (s.bucket >> (b.band * 2)) & 3 AS bval
+  FROM sigs s, generate_series(0, 3) AS b(band) WHERE s.vec_id < 8
+),
+cb AS (
+  SELECT s.vec_id AS c_id, b.band, (s.bucket >> (b.band * 2)) & 3 AS bval
+  FROM sigs s, generate_series(0, 3) AS b(band) WHERE s.vec_id >= 8
+),
+cand AS (
+  SELECT DISTINCT q_id, c_id
+  FROM qb JOIN cb ON qb.band = cb.band AND qb.bval = cb.bval
+),
+d AS (
+  SELECT cand.q_id, cand.c_id,
+         ROUND(
+           list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+           6) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.q_id
+  JOIN embeddings c ON c.vec_id = cand.c_id
+)
+SELECT q_id, c_id, cos, rank FROM (
+  SELECT q_id, c_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+  FROM d
+) WHERE rank <= 5
+"""
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 8,
     n_bands: int = 4,
@@ -1146,6 +1273,7 @@ QUERIES = {
     # oracle can replay the pipeline; the library default stays xxhash64
     "simhash_dedup": _q_simhash_dedup_md5,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "ann_join": q_ann_join,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1178,6 +1306,9 @@ ORACLES = {
     # BIGINT and Python's ints), bucket bits compare the SAME ordered fold
     # both engines run, and the refine reuses the proven exact-ANN fold
     "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
+    # the same full-pipeline replay, generalized to the batch-query join
+    # (bands on both sides, per-query window)
+    "ann_join": SQL_ANN_JOIN,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,

@@ -444,3 +444,39 @@ def test_connected_components_star_matches_label_on_pair_graph(spark):
     }
     assert a == b
     assert a[8] == 1 and a[21] == 20 and a[41] == 40
+
+
+def test_ann_join_oracle_and_plan(spark):
+    """Batch-query ANN join: full-pipeline DuckDB replay matches
+    (rows+schema+hash) and the candidate plan is banded equi-joins — never a
+    cartesian/nested-loop product."""
+    from geojson_vt_spark.training import q_ann_join
+
+    from .oracle_harness import run_all
+
+    res = run_all(spark, SF, names={"ann_join"})
+    assert res["ann_join"].get("hash_match"), res["ann_join"]
+
+    plan = q_ann_join(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_join_topk_per_query_exact_on_candidates(spark):
+    """Every returned neighbor list is correctly ranked and sized <= k, and
+    ranks are dense starting at 1 per query."""
+    from collections import defaultdict
+
+    from geojson_vt_spark.training import q_ann_join
+
+    rows = q_ann_join(spark, SF).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.q_id].append((r.rank, r.cos))
+    assert len(by_q) == 8
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _ in lst] == list(range(1, len(lst) + 1))
+        coss = [c for _, c in lst]
+        assert coss == sorted(coss, reverse=True)
+        assert len(lst) <= 5
