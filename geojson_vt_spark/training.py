@@ -57,18 +57,43 @@ def _mh_base_col(hash_fn: str):
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = 64, hash_fn: str = "xxhash64"
+    docs: DataFrame,
+    n_hashes: int = 64,
+    hash_fn: str = "xxhash64",
+    vocab_broadcast: bool = None,
 ) -> DataFrame:
     """n_hashes minhashes per (doc_id, source) over the `toks` array column.
     One shuffle total: the explode is map-side, the groupBy partial-aggregates
     (map-side combine), and each doc travels as ONE narrow row of n_hashes
-    longs — never a signature-per-token."""
+    longs — never a signature-per-token.
+
+    vocab_broadcast: hash each DISTINCT token once and broadcast the tiny
+    (token -> h0..h{n-1}) dictionary back over the token stream, so the
+    base hash + n_hashes multiply-adds run per VOCAB ENTRY instead of per
+    token occurrence. Correct whenever the dictionary fits a broadcast
+    (Zipf vocabularies are orders of magnitude smaller than token streams);
+    defaults ON for the md5_60 oracle-replay hash (md5-of-string per row is
+    the expensive case) and OFF for xxhash64, whose per-row cost is already
+    a single JVM hash — at open-vocabulary corpus scale keep it off."""
     tok = docs.select("doc_id", "source", F.explode("toks").alias("t"))
-    tok = tok.withColumn("x", _mh_base_col(hash_fn))
-    aggs = [
-        F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(_MH_P))).alias(f"h{s}")
-        for s, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    if vocab_broadcast is None:
+        vocab_broadcast = hash_fn == "md5_60"
+    hexprs = [
+        F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(_MH_P))
+        for a, b in _mh_coeffs(n_hashes)
     ]
+    if vocab_broadcast:
+        vocab = (
+            tok.select("t")
+            .distinct()
+            .withColumn("x", _mh_base_col(hash_fn))
+            .select("t", *[h.alias(f"h{s}") for s, h in enumerate(hexprs)])
+        )
+        tok = tok.join(F.broadcast(vocab), "t")
+        aggs = [F.min(F.col(f"h{s}")).alias(f"h{s}") for s in range(n_hashes)]
+    else:
+        tok = tok.withColumn("x", _mh_base_col(hash_fn))
+        aggs = [F.min(h).alias(f"h{s}") for s, h in enumerate(hexprs)]
     return tok.groupBy("doc_id", "source").agg(*aggs)
 
 
@@ -141,7 +166,10 @@ def minhash_lsh_pairs(
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     refined = cand.join(da, "doc_a").join(db, "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    # toks is array_distinct'd, so |a ∪ b| = |a| + |b| - |a ∩ b| — one hash
+    # probe per pair instead of materializing the union array (the refine
+    # over the candidate set is the pipeline's hottest stage)
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     return refined.select(
         "doc_a", "doc_b", F.round(inter / union, 9).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
@@ -276,15 +304,20 @@ def q_simhash_dedup(spark, sf_dir, hash_fn: str = "xxhash64"):
     engines, so the DuckDB oracle can replay the whole pipeline; recall
     exactness is hash-agnostic)."""
     d = _t(spark, sf_dir, "documents")
-    if hash_fn == "md5_16":
-        h = F.conv(F.substring(F.md5(F.col("t")), 29, 4), 16, 10).cast("long")
-    else:
-        h = F.xxhash64("t")
     tok = d.select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
-    ).withColumn("h", h)
+    )
+    if hash_fn == "md5_16":
+        # md5-of-string per token row is the oracle-replay tax: hash each
+        # DISTINCT token once and broadcast the dictionary back (same move
+        # as minhash_signatures vocab_broadcast)
+        h = F.conv(F.substring(F.md5(F.col("t")), 29, 4), 16, 10).cast("long")
+        vocab = tok.select("t").distinct().select("t", h.alias("h"))
+        tok = tok.join(F.broadcast(vocab), "t")
+    else:
+        tok = tok.withColumn("h", F.xxhash64("t"))
     contribs = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
