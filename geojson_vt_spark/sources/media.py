@@ -15,6 +15,7 @@ where) and nothing else changes.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -96,11 +97,20 @@ def decode_media(media: DataFrame, frame_stride: int = 5) -> DataFrame:
     frame-samples every `frame_stride`-th frame (the training-pipeline
     pattern: decode -> sample -> feature-extract)."""
 
+    # Real codecs (PIL/librosa/pyav) are not wired up; the kernel emits
+    # deterministic STUB decode output. A deployment where PIL IS importable
+    # must not mistake fabricated widths/sample counts for real decodes:
+    # require the explicit opt-in there (tests set it; codec-less containers
+    # are unambiguous and run the stub silently).
+    if _HAVE_PIL and os.environ.get("SPARK_GRAFT_MEDIA_FAKE") != "1":
+        raise NotImplementedError(
+            "real media codecs are importable here but decode_media only "
+            "implements the deterministic stub — set SPARK_GRAFT_MEDIA_FAKE=1 "
+            "to acknowledge stub output, or wire _fake_decode_* to the real "
+            "decoders (geojson_vt_spark/sources/media.py)"
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Real codecs (PIL/librosa/pyav) are not wired up yet; even when PIL
-        # is importable we fall through to the deterministic stub so the
-        # shipped pipeline keeps working — swap _fake_decode_* for real
-        # decoders here when integrating actual media.
         for pdf in batches:
             out = {f.name: [] for f in DECODED_SCHEMA.fields}
             for doc_id, ref, kind, payload in zip(

@@ -13,9 +13,15 @@ the state. Within one micro-batch, ties break deterministically by doc_id
 hash-partitioned by the same key as the shuffle — one stateful exchange,
 state size = one tombstone per distinct content.
 
-Batch/stream parity: the batch twin is a min(doc_id)-per-hash semi-join;
-tests drain the stream with availableNow (in multiple micro-batches via
-maxFilesPerTrigger) and assert equality.
+Batch/stream parity: the batch twin is a min(doc_id)-per-hash semi-join.
+The equality holds for ORDERED ingest (micro-batches arrive in doc_id
+order, as the test fixtures do): within one micro-batch ties break by
+lowest doc_id, but ACROSS micro-batches the operator keeps the first
+ARRIVAL — by design, since "first seen" is the ingest-dedup contract — so
+out-of-order file arrival can elect a different (equally valid) surviving
+representative than the batch twin's global min. Tests drain the stream
+with availableNow (multiple micro-batches via maxFilesPerTrigger, ordered
+fixtures) and assert equality under that scope.
 """
 
 from __future__ import annotations

@@ -625,10 +625,14 @@ SELECT q_id, c_id, cos, rank FROM (
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 8,
+    embeddings: DataFrame, threshold: float = 0.99, n_bits: int = 8,
     n_bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: banded multi-probe LSH + exact refine.
+
+    The default threshold stays at the original 0.99 (strict near-identity);
+    callers wanting looser matches pass threshold explicitly — the driver
+    query passes 0.9 to exercise the planted-twin corpus.
 
     The n_bits hyperplane signature is split into n_bands bands; candidates
     are pairs sharing ANY band value — one equi-join shuffle on (band, bval),

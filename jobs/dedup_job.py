@@ -49,8 +49,18 @@ def main(argv: list[str]) -> None:
     spark = SparkSession.builder.appName("geojson-vt-spark dedup").getOrCreate()
 
     # the q_* surfaces read <sf_dir>/documents.parquet; point them at the
-    # input's parent dir so the submitted job reuses the tested plans
-    sf_dir = args.documents.rsplit("/documents.parquet", 1)[0]
+    # input's parent dir so the submitted job reuses the tested plans. That
+    # convention only holds when the input IS named documents.parquet —
+    # anything else would silently make q_minhash_lsh_dedup read a different
+    # table than the one loaded into `docs` below, so fail loudly instead.
+    base = args.documents.rstrip("/").rsplit("/", 1)[-1]
+    if base != "documents.parquet":
+        raise SystemExit(
+            "dedup_job: --documents must point at a path named "
+            f"documents.parquet (got {base!r}); the dedup plans read "
+            "<parent>/documents.parquet by convention"
+        )
+    sf_dir = args.documents.rstrip("/").rsplit("/", 1)[0]
 
     t0 = time.time()
     docs = spark.read.parquet(args.documents)

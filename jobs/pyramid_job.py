@@ -51,7 +51,62 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--buffer", type=int, default=64)
     ap.add_argument("--extent", type=int, default=4096)
     ap.add_argument("--tolerance", type=float, default=3.0)
+    ap.add_argument(
+        "--no-resume",
+        action="store_true",
+        help="ignore any snapshots already in --workdir (fresh build; "
+        "snapshots are overwritten as levels complete)",
+    )
     return ap.parse_args(argv)
+
+
+_FP_FIELDS = (
+    "max_zoom",
+    "index_max_zoom",
+    "index_max_points",
+    "buffer",
+    "extent",
+    "tolerance",
+)
+
+
+def _guard_options_fingerprint(
+    spark, workdir: str, options, documents: str, resume: bool
+) -> None:
+    """Snapshots are only valid under the options (and input) that built
+    them: record the fingerprint in the workdir on first run and REFUSE to
+    resume under a different one — silently mixing levels built under old
+    options would produce a wrong pyramid with no error. --no-resume
+    rebuilds fresh and re-records. Stored as a 1-row parquet so it works on
+    any Hadoop-compatible filesystem (s3/hdfs/local), like the snapshots
+    themselves."""
+    fp = {k: getattr(options, k) for k in _FP_FIELDS}
+    fp["documents"] = documents
+    path = workdir.rstrip("/") + "/_options_fingerprint"
+
+    def record():
+        spark.createDataFrame([(json.dumps(fp),)], "fp string").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    if not resume:
+        record()
+        return
+    try:
+        prev = json.loads(spark.read.parquet(path).collect()[0]["fp"])
+    except Exception:  # noqa: BLE001 — first run: nothing recorded yet
+        record()
+        return
+    if prev != fp:
+        diff = {
+            k: (prev.get(k), fp[k]) for k in fp if prev.get(k) != fp[k]
+        }
+        raise SystemExit(
+            "pyramid_job: --workdir holds snapshots built under DIFFERENT "
+            f"options/input (recorded vs requested: {diff}); resuming would "
+            "mix levels into a wrong pyramid. Pass --no-resume to rebuild "
+            "fresh, or use a new --workdir."
+        )
 
 
 def main(argv: list[str]) -> None:
@@ -75,10 +130,16 @@ def main(argv: list[str]) -> None:
         tolerance=args.tolerance,
     )
 
+    resume = not args.no_resume
+    if args.workdir:
+        _guard_options_fingerprint(
+            spark, args.workdir, options, args.documents, resume
+        )
+
     t0 = time.time()
     docs = spark.read.parquet(args.documents)
     feats = features_from_documents(docs, options)
-    store = build_pyramid(feats, options, workdir=args.workdir, resume=True)
+    store = build_pyramid(feats, options, workdir=args.workdir, resume=resume)
 
     registry = store.registry_df()
     if args.output:

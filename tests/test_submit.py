@@ -210,3 +210,46 @@ def test_spark_submit_pyramid_job(spark, tmp_path):
                         str(tmp_path / "registry-out2"))
     assert metrics2["stats"] == metrics["stats"]
     assert metrics2["total"] == metrics["total"]
+
+
+def test_pyramid_job_options_fingerprint_guard(spark, tmp_path):
+    """Resuming a workdir whose snapshots were built under different options
+    (or a different input) must fail loudly, not silently mix levels;
+    --no-resume re-records the fingerprint for fresh builds."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pyramid_job", os.path.join(REPO, "jobs", "pyramid_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from geojson_vt_spark.config import Options
+
+    wd = str(tmp_path / "wd")
+    o1, o2 = Options(max_zoom=5), Options(max_zoom=7)
+    mod._guard_options_fingerprint(spark, wd, o1, "in.parquet", resume=True)
+    mod._guard_options_fingerprint(spark, wd, o1, "in.parquet", resume=True)
+    with pytest.raises(SystemExit, match="DIFFERENT"):
+        mod._guard_options_fingerprint(spark, wd, o2, "in.parquet", resume=True)
+    with pytest.raises(SystemExit, match="DIFFERENT"):
+        mod._guard_options_fingerprint(spark, wd, o1, "other.parquet", resume=True)
+    # --no-resume rebuilds fresh and re-records; subsequent resume matches
+    mod._guard_options_fingerprint(spark, wd, o2, "in.parquet", resume=False)
+    mod._guard_options_fingerprint(spark, wd, o2, "in.parquet", resume=True)
+
+
+def test_dedup_job_rejects_misnamed_input(spark, tmp_path):
+    """An input not named documents.parquet would make the dedup plans read
+    a DIFFERENT table than the one the job loads — fail loudly instead."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job", os.path.join(REPO, "jobs", "dedup_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(SystemExit, match="documents.parquet"):
+        mod.main(
+            ["--documents", str(tmp_path / "corpus.parquet"),
+             "--output", str(tmp_path / "out")]
+        )
