@@ -1163,6 +1163,18 @@ def q_dedup_cluster_cc(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_dedup_cluster_cc_star(spark, sf_dir):
+    """The same clusters via the large-star/small-star contraction (the
+    adversarial-diameter mode, O(log n) rounds on ANY graph shape) — output
+    is identical to label propagation by construction (both converge to the
+    component minimum), so the exact transitive-closure oracle gates this
+    engine too."""
+    pairs = minhash_lsh_pairs(
+        _docs_tokens(spark, sf_dir), threshold=0.5, n_hashes=16, n_bands=16
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(pairs, algorithm="star")
+
+
 def q_dedup_keep(spark, sf_dir):
     """The corpus-dedup endpoint: drop every non-representative member of a
     near-dup cluster, keep everything else. One broadcast-able anti-join of
@@ -1304,6 +1316,7 @@ def _q_simhash_dedup_md5(spark, sf_dir):
 QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_cluster_cc": q_dedup_cluster_cc,
+    "dedup_cluster_cc_star": q_dedup_cluster_cc_star,
     "stratified_sample": q_stratified_sample,
     "dedup_keep": q_dedup_keep,
     # driver-facing entry uses the engine-portable md5_16 bits so the DuckDB
@@ -1327,6 +1340,9 @@ ORACLES = {
     # transitive closure of the same pair graph; MIN over reachable labels
     # is exactly the component minimum the Spark loop converges to
     "dedup_cluster_cc": SQL_DEDUP_CLUSTER_CC,
+    # identical output contract (component minimum), different engine —
+    # the closure oracle gates the star contraction too
+    "dedup_cluster_cc_star": SQL_DEDUP_CLUSTER_CC,
     # the oracle ranks whole strata (fine at sf); the Spark plan pre-filters
     # on the hash prefix so only ~4k rows per stratum are ever sorted
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
