@@ -277,7 +277,10 @@ class ClusterTileIndexSpark:
         tree = self.tree_df(z)
         if tree is None:
             return None
-        return self._join_points(tree.filter(pred)).orderBy("vrank")
+        # src tiebreak: exact-mode vranks are a permutation (unique), but
+        # grid-mode cluster vranks are packed cells from DIFFERENT zoom
+        # grids and can collide numerically — keep the order deterministic
+        return self._join_points(tree.filter(pred)).orderBy("vrank", "src")
 
     def _tree_rows(self, z: int, pred) -> list:
         out = self._tree_rows_df(z, pred)
@@ -456,7 +459,7 @@ class ClusterTileIndexSpark:
             )
             w = (
                 Window.partitionBy("parent")
-                .orderBy("vrank")
+                .orderBy("vrank", "src")  # src: grid-mode vrank tie-break
                 .rowsBetween(Window.unboundedPreceding, -1)
             )
             rows_df = (

@@ -83,3 +83,90 @@ def test_h3_requires_native_lib():
         pass
     with pytest.raises(RuntimeError, match="h3"):
         H3Cells(7)
+
+
+def test_hilbert_column_matches_numpy_twin(spark):
+    """The pure-Column Hilbert fold equals the numpy oracle on a coordinate
+    sweep (which itself matches the canonical scalar loop — verified in the
+    scheme's authoring tests) — bijection and range included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.cells import HilbertCells, hilbert_d_numpy
+
+    res = 6
+    sch = HilbertCells(res)
+    n = 1 << res
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("cx"),
+            (F.col("id") / n).cast("long").alias("cy"),
+        )
+        .select(
+            "cx",
+            "cy",
+            sch._d(F.col("cx"), F.col("cy")).alias("d"),
+        )
+    )
+    rows = df.collect()
+    got = np.array([r.d for r in rows])
+    want = hilbert_d_numpy(
+        res, np.array([r.cx for r in rows]), np.array([r.cy for r in rows])
+    )
+    assert (got == want).all()
+    assert len(set(got.tolist())) == n * n and got.min() == 0
+
+
+def test_hilbert_point_cell_locality(spark):
+    """The reason the scheme exists: sorting by Hilbert id makes consecutive
+    cells GRID-ADJACENT (|dx|+|dy| == 1), which quadkey packing does not."""
+    import numpy as np
+
+    from geojson_vt_spark.operators.cells import hilbert_d_numpy
+
+    res = 7
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d_numpy(res, xs.ravel(), ys.ravel())
+    order = np.argsort(d)
+    dx = np.abs(np.diff(xs.ravel()[order]))
+    dy = np.abs(np.diff(ys.ravel()[order]))
+    assert ((dx + dy) == 1).all()
+    # quadkey packing breaks adjacency at every row boundary
+    qk = (xs.ravel() << res) | ys.ravel()
+    oq = np.argsort(qk)
+    dq = np.abs(np.diff(xs.ravel()[oq])) + np.abs(np.diff(ys.ravel()[oq]))
+    assert (dq > 1).any()
+
+
+def test_join_identical_under_hilbert_scheme(spark):
+    """Cell ids are join keys only — the Hilbert bijection must give
+    row-identical spatial-join output to the default quadkeys."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.cells import HilbertCells
+    from geojson_vt_spark.operators.spatial_join import point_in_box_join
+
+    pts = spark.range(400).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.col("id") * 7919, F.lit(1000)) / 1000.0).alias("px"),
+        (F.pmod(F.col("id") * 104729 + 3, F.lit(1000)) / 1000.0).alias("py"),
+    )
+    boxes = spark.range(25).select(
+        F.col("id").alias("bid"),
+        (F.pmod(F.col("id") * 131, F.lit(100)) / 100.0).alias("minx"),
+        (F.pmod(F.col("id") * 131, F.lit(100)) / 100.0 + 0.15).alias("maxx"),
+        (F.pmod(F.col("id") * 37, F.lit(100)) / 100.0).alias("miny"),
+        (F.pmod(F.col("id") * 37, F.lit(100)) / 100.0 + 0.2).alias("maxy"),
+    )
+    base = {
+        tuple(r) for r in point_in_box_join(pts, boxes, px="px", py="py").select("pid", "bid").collect()
+    }
+    hil = {
+        tuple(r)
+        for r in point_in_box_join(pts, boxes, px="px", py="py", scheme=HilbertCells(5))
+        .select("pid", "bid")
+        .collect()
+    }
+    assert base == hil and base
