@@ -162,6 +162,14 @@ def minhash_lsh_pairs(
     (see minhash_band_candidates; n_hashes=n_bands gives the r=1 exact-recall
     mode)."""
     cand = minhash_band_candidates(docs, n_hashes, n_bands, hash_fn)
+    # The candidate frame is bytes-tiny (two longs per row) but every row
+    # pays an array_intersect over two full token arrays downstream, so
+    # AQE's byte-based coalesce (measured: 3 post-shuffle partitions on 8
+    # cores at sf0.1) serializes the pipeline's hottest stage. Round-robin
+    # to cluster parallelism: one extra pass over the narrow deduped pairs
+    # (REPARTITION_BY_NUM — AQE never re-coalesces it) buys an evenly
+    # spread refine (measured 2x on the refine stage).
+    cand = cand.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     refined = cand.join(da, "doc_a").join(db, "doc_b")
