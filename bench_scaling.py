@@ -161,9 +161,16 @@ def main() -> None:
 
     best: dict = {}
     # paired legs adjacent in time (4 then 1, 8 then 2) so each pair sees
-    # the same host window; reps outermost so minima span windows
-    for _ in range(args.repeat):
-        for cpus in (4, 1, 8, 2, 32):
+    # the same host window; reps outermost so minima span windows.
+    # The leg ORDER alternates per rep: whichever leg runs first in a pair
+    # absorbs the campaign's cold window (measured: an 8-core-first pair read
+    # eff 0.07 while the same pair 2-core-first read 0.64), so even reps run
+    # wide-first and odd reps the mirror — minima over >=2 reps see each leg
+    # in each position.
+    legs = (4, 1, 8, 2, 32)
+    for rep in range(args.repeat):
+        order = legs if rep % 2 == 0 else tuple(reversed(legs))
+        for cpus in order:
             r = run_once(cpus, args.sf_dir, args.n_features, args.n_points)
             for k, v in r.items():
                 cur = best.setdefault(k, {}).get(cpus)
