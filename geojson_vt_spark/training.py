@@ -656,25 +656,33 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(n_bits, 64)
     bits_per_band = n_bits // n_bands
     bmask = (1 << bits_per_band) - 1
-    eb = embeddings.select("vec_id", "embedding").withColumn(
-        "bucket", _bucket_col(planes)
+    # Bands travel SLIM — (vec_id, band, bval) only. Carrying the embedding
+    # through the explode would replicate every vector n_bands times through
+    # the band-join shuffle and key the dedup on full arrays; instead the
+    # candidate distinct is two longs per row and the vectors join back once
+    # for the refine (minhash_lsh_pairs' shape). Pinned so the self-join
+    # doesn't recompute the n_bits hyperplane signature per side.
+    bands = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("bucket", _bucket_col(planes))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("bucket"), i * bits_per_band)
+                        .bitwiseAND(F.lit(bmask))
+                        .alias("bval"),
+                    )
+                    for i in range(n_bands)
+                ])
+            ).alias("bb"),
+        )
+        .select("vec_id", F.col("bb.band").alias("band"),
+                F.col("bb.bval").alias("bval"))
+        .localCheckpoint(eager=True)
     )
-    bands = eb.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(F.col("bucket"), i * bits_per_band)
-                    .bitwiseAND(F.lit(bmask))
-                    .alias("bval"),
-                )
-                for i in range(n_bands)
-            ])
-        ).alias("bb"),
-    ).select("vec_id", "embedding", F.col("bb.band").alias("band"),
-             F.col("bb.bval").alias("bval"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -683,15 +691,23 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
         )
         .distinct()
     )
+    # same post-AQE floor as minhash_lsh_pairs: candidate rows are bytes-tiny
+    # but each pays a full-vector dot product in the refine
+    cand = cand.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("ea"))
+    ebb = embeddings.select(F.col("vec_id").alias("vec_b"),
+                            F.col("embedding").alias("eb"))
     cos = F.round(_cos_cols("ea", "eb"), 6)
-    return cand.select(
-        "vec_a", "vec_b", cos.alias("cos")
-    ).where(F.col("cos") >= threshold)
+    return (
+        cand.join(ea, "vec_a")
+        .join(ebb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
