@@ -30,7 +30,7 @@ Methodology: fresh JVM per leg, paired legs run back-to-back so both see
 the same host window (this VM's wall-clock for identical jobs varies 2-7x),
 minima over --repeat reps per leg. The cluster workload additionally wants
 a floor-amortized size (--n-points 48000000): its per-batch fixed job
-latency (ceil(levels/k) serial barriers) is size-independent and vanishes
+latency (two-tier serial barriers, see grid.batch_plan) is size-independent and vanishes
 at corpus scale, so small inputs understate the engine's scaling. The
 cluster build is otherwise a streaming linear-scan workload: on this
 single-socket microVM its core-scaling is bounded by the measured DRAM

@@ -17,11 +17,13 @@ Properties vs the reference semantics (documented, invariant-tested):
 
 Execution shape (default, `_batched_levels`): cells nest across zooms, so
 after ONE repartition by the batch's coarsest-zoom anchor cell a numpy
-kernel finishes every zoom of the batch partition-locally; the geometric
-`batch_plan` (k levels per batch, each anchored at its own coarsest zoom)
-gives ceil(levels/k) serial barriers with per-anchor row counts bounded at
-~4^k * min_points after the first batch — skew-safe on dense-city corpora
-where a single coarse anchor would otherwise hold most of the data.
+kernel finishes every zoom of the batch partition-locally; the two-tier
+`batch_plan` (k=4 levels for the raw-point head batch, k_tail=8 for the
+cell-collapsed tail batches, each anchored at its own coarsest zoom) gives
+1 + ceil((levels-k)/k_tail) serial barriers with per-anchor row counts
+bounded at ~4^k_tail * min_points after the first batch — skew-safe on
+dense-city corpora where a single coarse anchor would otherwise hold most
+of the data.
 A per-zoom pure-Column engine (`_column_levels`, one
 partial-agg shuffle + one checkpoint per zoom, AQE-skew-friendly) remains
 selectable via SPARK_GRAFT_CLUSTER_LEVEL_MODE=column and is structurally
@@ -321,7 +323,8 @@ def _make_level_kernel(levels: list, o: ClusterOptions, n_points: int):
                 f"grid-cluster anchor partition holds {len(pdf)} rows "
                 f"(> {cap}); the batched kernel buffers whole partitions and "
                 "hash repartitioning cannot split one hot anchor cell — "
-                "lower SPARK_GRAFT_CLUSTER_LEVEL_BATCH (finer anchors per "
+                "lower SPARK_GRAFT_CLUSTER_LEVEL_BATCH / "
+                "SPARK_GRAFT_CLUSTER_LEVEL_BATCH_TAIL (finer anchors per "
                 "batch) or set SPARK_GRAFT_CLUSTER_LEVEL_MODE=column (the "
                 "partial-agg engine, which never buffers a partition); raise "
                 "SPARK_GRAFT_CLUSTER_MAX_PARTITION_ROWS only if the executor "
@@ -429,15 +432,15 @@ def _batched_levels(
     workdir: Optional[str],
 ) -> None:
     """Batched engine: ONE anchor-cell exchange + ONE materialization per
-    level batch (geometric plan: k levels per batch, see `batch_plan`)
-    instead of per zoom — the serial barrier count is what a
-    bandwidth-bound 100 TB loop actually pays for.
+    level batch (two-tier plan: k-level head, k_tail-level tail batches,
+    see `batch_plan`) instead of per zoom — the serial barrier count is
+    what a bandwidth-bound 100 TB loop actually pays for.
 
     Skew stays bounded without AQE help: a partition's work is linear in its
     rows; batch 1 anchors only k-1 levels below max_zoom (dense corpora
     still span many anchors there), and every later batch's per-anchor row
-    count is capped at ~4^k * min_points by the previous batch's frontier
-    collapse (see batch_plan)."""
+    count is capped at ~4^k_tail * min_points by the previous batch's
+    frontier collapse (see batch_plan)."""
     spark = frontier.sparkSession
     # the kernel buffers whole partitions anyway, so cross Arrow in big
     # batches: fewer JVM->pandas conversions and concat pieces per task
@@ -465,27 +468,39 @@ def batch_plan(o: ClusterOptions, shuffle_partitions: int) -> list:
     a single z_floor anchor cell is ~10^2 km wide at default options, so a
     dense-city corpus lands most raw points in ONE anchor partition and one
     task then runs every level of the batch over most of the data — hash
-    partitioning by anchor key cannot split that hot cell. Capping every
-    batch at k levels bounds skew structurally instead:
+    partitioning by anchor key cannot split that hot cell. The two-tier
+    plan bounds skew structurally instead:
 
-    * batch 1 anchors at max_zoom-k+1 — fine enough that even a dense city
-      spans many anchor cells (the data-heavy top of the pyramid keeps its
-      parallelism);
+    * batch 1 spans k levels (default 4), anchoring at max_zoom-k+1 — fine
+      enough that even a dense city spans many anchor cells (the data-heavy
+      top of the pyramid keeps its parallelism). Only this batch ever sees
+      RAW points, so only its depth is skew-sensitive;
     * every later batch's incoming frontier is already collapsed to at most
       ~min_points rows per cell of the PREVIOUS batch's coarsest zoom, so a
-      batch spanning k levels holds at most ~4^k * min_points rows per
-      anchor (256*min_points at the default k=4) — a trivially small
-      partition-local numpy workload, independent of corpus size or skew.
+      tail batch spanning d levels holds at most ~4^d * min_points rows per
+      anchor NO MATTER how skewed the corpus is — the bound is the cell
+      nesting itself, not a data property. That lets tail batches run
+      deeper: k_tail levels each (default 8 → ≤ 4^8*min_points ≈ 1.3e5 rows
+      per anchor at min_points=2, still a sub-second partition-local numpy
+      workload).
 
-    The cost is ceil(levels/k) serial barriers instead of 2; all barriers
-    after the first shuffle a collapsed (cell-bounded) frontier, so the
-    added wall-clock is per-barrier fixed cost, not data volume.
+    Barriers: 1 + ceil((levels-k)/k_tail) — 3 at the default z16 pyramid
+    (vs 2 for the skew-unsafe round-2 plan and 5 for uniform k=4 chunks);
+    all barriers after the first shuffle a collapsed (cell-bounded)
+    frontier, so added wall-clock is per-barrier fixed cost, not volume.
 
-    ``SPARK_GRAFT_CLUSTER_LEVEL_BATCH`` overrides k (default 4).
+    ``SPARK_GRAFT_CLUSTER_LEVEL_BATCH`` overrides k (and, when set without
+    the tail var, k_tail too — the round-2 escape hatch stays one knob);
+    ``SPARK_GRAFT_CLUSTER_LEVEL_BATCH_TAIL`` overrides k_tail alone.
     """
     zs = list(range(o.max_zoom, o.min_zoom - 1, -1))
-    k = max(1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "4")))
-    return [zs[i : i + k] for i in range(0, len(zs), k)]
+    k_env = os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH")
+    k = max(1, int(k_env)) if k_env else 4
+    k_tail = max(
+        1, int(os.environ.get("SPARK_GRAFT_CLUSTER_LEVEL_BATCH_TAIL", k_env or "8"))
+    )
+    head, tail = zs[:k], zs[k:]
+    return [head] + [tail[i : i + k_tail] for i in range(0, len(tail), k_tail)]
 
 
 def _run_batches(

@@ -232,7 +232,7 @@ def test_grid_cluster_batched_materialization_count(spark):
         F.lit(None).cast("string").alias("id"),
         F.lit(None).cast("string").alias("tags"),
     ).localCheckpoint(eager=True)
-    opts = ClusterOptions(max_zoom=8)  # 9 levels, k=3 -> 3 barriers
+    opts = ClusterOptions(max_zoom=8)  # 9 levels -> 2 barriers (4+8 tiers)
 
     calls = []
     orig = grid._checkpoint
@@ -258,9 +258,12 @@ def test_grid_cluster_batched_materialization_count(spark):
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     expected = len(batch_plan(opts, parts))
     assert len(calls) == expected, calls
-    # geometric plan: ceil(levels/k) barriers, k=4 default (9 levels -> 3);
-    # bounded per-anchor skew is what the extra barrier buys (batch_plan doc)
+    # two-tier plan: 1 head batch (k=4, raw-point skew safety) +
+    # ceil((levels-4)/8) tail batches (cell-collapsed frontiers run deeper);
+    # 9 levels -> 2 barriers. Bounded per-anchor skew is what the extra
+    # barrier over the round-2 single-anchor plan buys (batch_plan doc).
     import math as _math
 
-    assert expected == _math.ceil((opts.max_zoom - opts.min_zoom + 1) / 4)
+    levels = opts.max_zoom - opts.min_zoom + 1
+    assert expected == 1 + _math.ceil((levels - 4) / 8)
     assert all(name.startswith("ctree/zb=") for name in calls), calls
