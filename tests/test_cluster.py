@@ -636,3 +636,49 @@ def test_leaves_deep_offset_matches_reference_order(default_index):
         pages.extend(default_index.get_leaves(cid, step, off))
     assert [p["properties"] for p in pages] == [p["properties"] for p in full]
     assert [p["geometry"] for p in pages] == [p["geometry"] for p in full]
+
+
+def test_batch_plan_two_tier_shapes():
+    """Pure-plan gates for the two-tier batch plan: a 4-level raw-point head
+    (the only skew-sensitive batch), 8-level tail batches over collapsed
+    frontiers, each batch contiguous descending, covering every level once;
+    SPARK_GRAFT_CLUSTER_LEVEL_BATCH forces uniform chunks (the round-2
+    escape hatch stays one knob), _TAIL overrides tail depth alone."""
+    import os
+
+    from geojson_vt_spark.cluster.grid import batch_plan
+    from geojson_vt_spark.config import ClusterOptions
+
+    def flat(plan):
+        return [z for b in plan for z in b]
+
+    for mz in (0, 3, 4, 8, 16, 24):
+        plan = batch_plan(ClusterOptions(max_zoom=mz), 32)
+        assert flat(plan) == list(range(mz, -1, -1)), plan
+        assert len(plan[0]) <= 4, plan
+        assert all(len(b) <= 8 for b in plan[1:]), plan
+        assert all(b == list(range(b[0], b[-1] - 1, -1)) for b in plan), plan
+
+    assert batch_plan(ClusterOptions(max_zoom=16), 32) == [
+        [16, 15, 14, 13],
+        [12, 11, 10, 9, 8, 7, 6, 5],
+        [4, 3, 2, 1, 0],
+    ]
+
+    old = {
+        k: os.environ.get(k)
+        for k in ("SPARK_GRAFT_CLUSTER_LEVEL_BATCH", "SPARK_GRAFT_CLUSTER_LEVEL_BATCH_TAIL")
+    }
+    try:
+        os.environ["SPARK_GRAFT_CLUSTER_LEVEL_BATCH"] = "3"
+        plan = batch_plan(ClusterOptions(max_zoom=8), 32)
+        assert [len(b) for b in plan] == [3, 3, 3], plan  # uniform chunks
+        os.environ["SPARK_GRAFT_CLUSTER_LEVEL_BATCH_TAIL"] = "6"
+        plan = batch_plan(ClusterOptions(max_zoom=8), 32)
+        assert [len(b) for b in plan] == [3, 6], plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
