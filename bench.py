@@ -134,7 +134,8 @@ def bench_analytics(spark: SparkSession, sf_dir: str) -> dict:
 
     queries = entry.queries()
     picks = [
-        "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_join", "dedup_exact",
+        "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+        "ann_join", "dedup_exact",
         "minhash_lsh_dedup", "simhash_dedup", "leaves_pagination",
         "invalidation_join", "weighted_centroid", "lang_id",
         "doc_fingerprint", "events_tile_heatmap", "raster_vector_bridge",

@@ -74,15 +74,18 @@ if "pyramid" in workloads:
     out["pyramid"] = {"sec": t["sec"], "work": t["tile_features"]}
 
 if "minhash" in workloads:
-    # minhash over an 8x-amplified corpus (deterministic doc_id offsets) so
-    # the hash+join compute dominates per-stage fixed costs
+    # minhash over an AMP-x-amplified corpus (deterministic doc_id offsets)
+    # so the hash+join compute dominates per-stage fixed costs. The r=4
+    # banding cut candidate volume so sharply that the round-2 8x size no
+    # longer exercises the engine — pass a bigger --amp for scaling legs.
+    amp_n = int(sys.argv[6])
     from pyspark.sql import functions as F
     from geojson_vt_spark.training import q_minhash_lsh_dedup
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = base.count()
     amp = None
-    for i in range(8):
+    for i in range(amp_n):
         part = base.select(
             (F.col("doc_id") + i * n_docs).alias("doc_id"),
             "text", "lang",
@@ -94,7 +97,7 @@ if "minhash" in workloads:
     amp.write.mode("overwrite").parquet(amp_path)
     t0 = time.time()
     n = q_minhash_lsh_dedup(spark, "/dev/shm/bench-docs").count()
-    out["minhash_dedup_8x"] = {"sec": time.time() - t0, "work": n}
+    out["minhash_dedup_%dx" % amp_n] = {"sec": time.time() - t0, "work": n}
 
 if "cluster" in workloads:
     c = bench.bench_cluster(spark, n_pts)
@@ -106,7 +109,7 @@ spark.stop()
 # workload -> (leg pairs, which cpu counts need that workload)
 PAIRS = {
     "pyramid": [(1, 4), (2, 8), (8, 32)],
-    "minhash_dedup_8x": [(2, 8), (8, 32)],
+    "minhash": [(2, 8), (8, 32)],
     "cluster": [(1, 4), (2, 8), (8, 32)],
 }
 WORKLOADS_BY_CPUS = {
@@ -135,12 +138,19 @@ def _no_orphan_jvms(timeout_s: int = 60) -> None:
         time.sleep(2)
 
 
-def run_once(cpus: int, sf_dir: str, n_feat: int, n_pts: int) -> dict:
+def run_once(
+    cpus: int, sf_dir: str, n_feat: int, n_pts: int, only: set, amp: int
+) -> dict:
     _no_orphan_jvms()
+    wl = ",".join(
+        w for w in WORKLOADS_BY_CPUS[cpus].split(",") if w in only
+    )
+    if not wl:
+        return {}
     code = _WORKER % {"repo": REPO}
     proc = subprocess.run(
         [sys.executable, "-c", code, str(cpus), sf_dir, str(n_feat),
-         str(n_pts), WORKLOADS_BY_CPUS[cpus]],
+         str(n_pts), wl, str(amp)],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -157,7 +167,14 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--n-features", type=int, default=250_000)
     ap.add_argument("--n-points", type=int, default=4_000_000)
+    ap.add_argument("--amp", type=int, default=8,
+                    help="minhash corpus amplification factor")
+    ap.add_argument("--only", default="pyramid,minhash,cluster",
+                    help="comma filter of workloads to run")
+    ap.add_argument("--legs", default="4,1,8,2,32",
+                    help="comma list of core widths (rep-0 order)")
     args = ap.parse_args()
+    only = set(args.only.split(","))
 
     best: dict = {}
     # paired legs adjacent in time (4 then 1, 8 then 2) so each pair sees
@@ -167,11 +184,12 @@ def main() -> None:
     # eff 0.07 while the same pair 2-core-first read 0.64), so even reps run
     # wide-first and odd reps the mirror — minima over >=2 reps see each leg
     # in each position.
-    legs = (4, 1, 8, 2, 32)
+    legs = tuple(int(c) for c in args.legs.split(","))
     for rep in range(args.repeat):
         order = legs if rep % 2 == 0 else tuple(reversed(legs))
         for cpus in order:
-            r = run_once(cpus, args.sf_dir, args.n_features, args.n_points)
+            r = run_once(cpus, args.sf_dir, args.n_features, args.n_points,
+                         only, args.amp)
             for k, v in r.items():
                 cur = best.setdefault(k, {}).get(cpus)
                 if cur is None or v["sec"] < cur["sec"]:
@@ -184,7 +202,8 @@ def main() -> None:
             "work": by_cpu[max(by_cpu)]["work"],
             "sec": {str(c): round(v["sec"], 2) for c, v in by_cpu.items()},
         }
-        for lo, hi in PAIRS.get(k, []):
+        base = "minhash" if k.startswith("minhash_dedup_") else k
+        for lo, hi in PAIRS.get(base, []):
             if lo in by_cpu and hi in by_cpu:
                 thr_lo = by_cpu[lo]["work"] / by_cpu[lo]["sec"]
                 thr_hi = by_cpu[hi]["work"] / by_cpu[hi]["sec"]

@@ -11,6 +11,8 @@ equality-tested against their exact counterparts in tests/test_training.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.projection import project_x_col, project_y_col
@@ -629,6 +631,165 @@ SELECT q_id, c_id, cos, rank FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
   FROM d
 ) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search: IVF-bucketed ANN (coarse quantizer + inverted lists)
+# --------------------------------------------------------------------------
+
+
+def _ivf_centroids(e: DataFrame, nlist: int) -> list:
+    """Deterministic coarse quantizer: the nlist corpus vectors with the
+    smallest md5(vec_id-as-string) digest — a seedless, engine-portable
+    pseudo-random sample (both Spark and the DuckDB oracle order the same
+    lowercase hex strings). Returns [(rank, embedding)] with rank 1..nlist.
+
+    Collecting nlist rows to the driver is the IVF index-build contract
+    (the centroid table is tiny by design); the assignment step broadcasts
+    them back as literals."""
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(nlist)
+        .collect()
+    )
+    return [(i + 1, [float(v) for v in r.embedding]) for i, r in enumerate(rows)]
+
+
+def _cos_lit(colname: str, vals: list):
+    """Cosine between an array column and a python-literal vector, with the
+    SAME sequential left-fold the DuckDB oracle runs (zip_with + aggregate;
+    the literal's norm is a python left fold over the identical float64
+    values, so the IEEE result is bit-equal)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(colname), F.lit(vals), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(colname),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    nb = 0.0
+    for v in vals:
+        nb += v * v
+    return dot / (na * F.lit(math.sqrt(nb)))
+
+
+def _ivf_rank_structs(cents: list):
+    """Array of centroid (cos, rk) structs sorted nearest-first: cosine
+    rounded to 6 (the cross-engine equality contract every ANN oracle here
+    uses), ties to the smaller centroid rank. A comparator (not a negated
+    sort key) keeps -0.0/0.0 out of the ordering."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.round(_cos_lit("embedding", c), 6).alias("cos"),
+                F.lit(rk).alias("rk"),
+            )
+            for rk, c in cents
+        ]
+    )
+    return F.array_sort(
+        structs,
+        lambda l, r: F.when(l["cos"] > r["cos"], F.lit(-1))
+        .when(l["cos"] < r["cos"], F.lit(1))
+        .otherwise(l["rk"] - r["rk"]),
+    )
+
+
+def q_ann_cosine_topk_ivf(
+    spark, sf_dir, nlist: int = 16, nprobe: int = 4, k: int = 10
+):
+    """ANN top-k for query vec_id=0, IVF-style: the scale path SURVEY §2
+    names alongside the LSH bucketing. Corpus vectors are assigned to the
+    inverted list of their nearest coarse centroid (one narrow column, no
+    shuffle — assignment is embarrassingly parallel); the query probes its
+    nprobe nearest lists and the exact cosine refine + top-k runs over
+    candidates only (~ n*nprobe/nlist rows instead of n).
+
+    Everything stays JVM-side codegen (zip_with/aggregate folds) so the
+    DuckDB oracle replays the FULL pipeline — centroid choice, assignment
+    argmax, probe set, refine. At corpus scale the assignment fold is the
+    knob to swap for a mapInPandas matmul (batch @ centroids.T) and nlist
+    grows toward sqrt(n); the plan shape (broadcast centroids, list_id
+    equi-semijoin, candidate-only refine) is unchanged."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(e, nlist)
+    ranked = _ivf_rank_structs(cents)
+    eb = e.select(
+        "vec_id", "embedding", ranked[0]["rk"].alias("list_id")
+    )
+    q = (
+        e.where(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.transform(
+                F.slice(ranked, 1, nprobe), lambda s: s["rk"]
+            ).alias("qprobes"),
+        )
+    )
+    cand = (
+        eb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .where(F.array_contains(F.col("qprobes"), F.col("list_id")))
+    )
+    cos = F.round(_cos_cols("embedding", "qe"), 6)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+SQL_ANN_COSINE_TOPK_IVF = """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rk,
+         embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+sim AS (
+  SELECT e.vec_id, c.rk,
+         ROUND(
+           list_reduce(list_transform(list_zip(e.embedding, c.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+           6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, rk,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, rk) AS rn
+  FROM sim
+),
+lists AS (SELECT vec_id, rk AS list_id FROM ranked WHERE rn = 1),
+qprobes AS (SELECT rk FROM ranked WHERE vec_id = 0 AND rn <= 4),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_reduce(list_transform(list_zip(e.embedding, qv.qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(qv.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+           6) AS cos
+  FROM embeddings e
+  JOIN lists l ON e.vec_id = l.vec_id, qv
+  WHERE e.vec_id <> 0 AND l.list_id IN (SELECT rk FROM qprobes)
+)
+SELECT vec_id, cos, rank FROM (
+  SELECT vec_id, cos,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM d
+) WHERE rank <= 10
 """
 
 
@@ -1347,6 +1508,7 @@ QUERIES = {
     # oracle can replay the pipeline; the library default stays xxhash64
     "simhash_dedup": _q_simhash_dedup_md5,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "ann_join": q_ann_join,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
@@ -1383,6 +1545,10 @@ ORACLES = {
     # BIGINT and Python's ints), bucket bits compare the SAME ordered fold
     # both engines run, and the refine reuses the proven exact-ANN fold
     "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
+    # full-pipeline replay: centroid pick (md5 hex order), assignment argmax
+    # (rounded-cos window), probe set, candidate refine — the folds and the
+    # literal centroid norm are the same sequential IEEE left folds
+    "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK_IVF,
     # the same full-pipeline replay, generalized to the batch-query join
     # (bands on both sides, per-query window)
     "ann_join": SQL_ANN_JOIN,

@@ -222,6 +222,55 @@ def test_ann_lsh_recall_and_shape(spark):
         assert l.cos <= e.cos + 1e-9
 
 
+def test_ann_ivf_full_probe_equals_exact(spark):
+    """With nprobe == nlist the IVF candidate set is the whole corpus, so
+    the result must EQUAL the brute-force exact top-k row for row (same
+    rounding + tie order) — recall is purely the probe knob, precision is
+    exact by construction."""
+    from geojson_vt_spark.analytics import q_ann_cosine_topk
+    from geojson_vt_spark.training import q_ann_cosine_topk_ivf
+
+    exact = [tuple(r) for r in q_ann_cosine_topk(spark, SF).orderBy("rank").collect()]
+    full = [
+        tuple(r)
+        for r in q_ann_cosine_topk_ivf(spark, SF, nlist=16, nprobe=16)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert full == exact
+
+
+def test_ann_ivf_oracle_and_pruning(spark):
+    """Default nprobe=4/nlist=16: full-pipeline DuckDB replay matches, the
+    inverted lists actually partition the corpus (so probing 4 lists prunes),
+    and the probed result keeps most of the exact top-k."""
+    from geojson_vt_spark.analytics import q_ann_cosine_topk
+    from geojson_vt_spark.training import (
+        _ivf_centroids,
+        _ivf_rank_structs,
+        _t,
+        q_ann_cosine_topk_ivf,
+    )
+
+    from .oracle_harness import run_all
+
+    res = run_all(spark, SF, names={"ann_cosine_topk_ivf"})
+    assert res["ann_cosine_topk_ivf"].get("hash_match"), res["ann_cosine_topk_ivf"]
+
+    e = _t(spark, SF, "embeddings")
+    cents = _ivf_centroids(e, 16)
+    assert len(cents) == 16
+    lists = e.select(_ivf_rank_structs(cents)[0]["rk"].alias("list_id"))
+    n_lists = lists.distinct().count()
+    assert n_lists > 4  # probing 4 of them is a proper subset of the corpus
+
+    got = q_ann_cosine_topk_ivf(spark, SF).collect()
+    assert len(got) == 10
+    exact = q_ann_cosine_topk(spark, SF).collect()
+    overlap = len({r.vec_id for r in exact} & {r.vec_id for r in got})
+    assert overlap >= 5
+
+
 def test_embedding_near_dup_detects_planted_dups(spark):
     import numpy as np
 
