@@ -439,17 +439,31 @@ FROM documents
 """
 
 
+def quality_cols(text_col: str = "text") -> dict:
+    """Quality-signal Column expressions over a text column — length,
+    punctuation-free token shape, and vocabulary-diversity ratios. Returned
+    as named Columns (not a DataFrame) so corpus pipelines fold them into
+    ONE scan's select/filter alongside other per-doc signals (no join, pure
+    whole-stage codegen)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("double")
+    return {
+        "avg_token_len": F.round(F.length(text_col).cast("double") / n_tok, 9),
+        "uniq_ratio": F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n_tok, 9
+        ),
+        "len_ok": F.length(text_col) >= 100,
+    }
+
+
 def q_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("double")
-    avg_len = F.length("text").cast("double") / n_tok
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    qc = quality_cols()
     return d.select(
         "doc_id",
-        F.round(avg_len, 9).alias("avg_token_len"),
-        F.round(uniq_ratio, 9).alias("uniq_ratio"),
-        (F.length("text") >= 100).alias("len_ok"),
+        qc["avg_token_len"].alias("avg_token_len"),
+        qc["uniq_ratio"].alias("uniq_ratio"),
+        qc["len_ok"].alias("len_ok"),
     )
 
 

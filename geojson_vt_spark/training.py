@@ -793,6 +793,76 @@ SELECT vec_id, cos, rank FROM (
 """
 
 
+def ann_topk_ivf_matmul(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """The corpus-scale IVF execution the codegen variant's docstring names:
+    one fused Arrow mapInPandas scan — per batch, assignment is a single
+    `E_hat @ C_hat.T` matmul against the broadcast unit-normalized centroid
+    matrix, the probe filter is a numpy isin mask, and the exact cosine
+    refine (`E_hat[mask] @ q_hat`) runs over surviving candidates only. No
+    joins, no shuffle until the final top-k reduction: the plan is
+    scan -> ArrowEval -> window, so at 100 TB the cost is one streaming
+    pass at memory bandwidth plus ~nprobe/nlist of the rows paying a
+    d-length dot (the non-probed rows pay only the nlist-length assignment
+    row). The storage-layout continuation is writing the corpus partitioned
+    by list_id so non-probed lists are never read at all.
+
+    Contract vs q_ann_cosine_topk_ivf: identical centroid pick, assignment
+    argmax (round-6 cosine, ties to the smaller centroid rank — np.argmax's
+    first-max tie rule over rank-ordered columns), probe set, and top-k
+    ordering. BLAS pairwise summation differs from the sequential fold in
+    the last ulps, so the equality contract is ids+ranks (and cos to 1e-6),
+    not bit parity — tests/test_ivf_matmul.py gates it both against the
+    codegen IVF query and, at full probe, the brute-force exact top-k."""
+    import numpy as np
+
+    cents = _ivf_centroids(embeddings, nlist)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    C_hat = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qrows = embeddings.where(F.col("vec_id") == query_id).select("embedding").collect()
+    q = np.array(qrows[0][0], dtype=np.float64)
+    q_hat = q / np.linalg.norm(q)
+    # Probe selection mirrors _ivf_rank_structs on the query row: round-6
+    # cosine, ties to the smaller rank (argsort is stable over rank order).
+    qcos = np.round(C_hat @ q_hat, 6)
+    probe_ranks = (np.argsort(-qcos, kind="stable")[:nprobe] + 1).astype(np.int64)
+    probes = frozenset(int(r) for r in probe_ranks)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            E_hat = E / np.linalg.norm(E, axis=1, keepdims=True)
+            # first-max argmax == smallest centroid rank among round-6 ties
+            assign = np.argmax(np.round(E_hat @ C_hat.T, 6), axis=1) + 1
+            ids = pdf["vec_id"].to_numpy()
+            mask = np.isin(assign, list(probes)) & (ids != query_id)
+            if not mask.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[mask],
+                    "cos": np.round(E_hat[mask] @ q_hat, 6),
+                }
+            )
+
+    scanned = embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, cos double"
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scanned.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99, n_bits: int = 8,
     n_bands: int = 4,
@@ -926,12 +996,13 @@ _LANG_PATTERNS = {
 }
 
 
-def q_lang_id(spark, sf_dir):
-    """Character-n-gram language heuristic: count marker n-grams per
-    language profile, argmax wins (ties broken en > de > fr)."""
-    d = _t(spark, sf_dir, "documents")
+def lang_cols(text_col: str = "text") -> dict:
+    """Language-ID Column expressions (marker-n-gram counts per profile +
+    the argmax guess, ties en > de > fr) — named Columns, not a DataFrame,
+    so corpus pipelines fold language-ID into the same single scan as the
+    other per-doc signals (no join, whole-stage codegen)."""
     scores = {
-        k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), 0))
+        k: F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
         for k, p in _LANG_PATTERNS.items()
     }
     guess = (
@@ -941,6 +1012,15 @@ def q_lang_id(spark, sf_dir):
         .when(scores["de"] >= scores["fr"], "de")
         .otherwise("fr")
     )
+    return {"scores": scores, "guess": guess}
+
+
+def q_lang_id(spark, sf_dir):
+    """Character-n-gram language heuristic: count marker n-grams per
+    language profile, argmax wins (ties broken en > de > fr)."""
+    d = _t(spark, sf_dir, "documents")
+    lc = lang_cols()
+    scores, guess = lc["scores"], lc["guess"]
     return d.select(
         "doc_id",
         scores["en"].cast("long").alias("s_en"),

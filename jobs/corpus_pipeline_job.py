@@ -1,0 +1,146 @@
+"""spark-submit entry point: raw documents table -> training-ready corpus.
+
+The composed end-to-end training-data pipeline — the reason the corpus
+operators exist as a library: quality gating, language filtering, near-dup
+deduplication, and an optional balanced sample, in the order a real ingest
+runs them (cheap single-scan filters FIRST so the expensive dedup shuffles
+only survivors). Ships like the other jobs:
+
+    spark-submit --master <cluster> \
+        --py-files dist/geojson_vt_spark.zip \
+        jobs/corpus_pipeline_job.py \
+        --documents /path/to/documents.parquet \
+        --output /path/to/clean-corpus \
+        [--langs en,de] [--min-uniq-ratio 0.3] [--min-chars 100] \
+        [--sample-k 0] [--dedup-threshold 0.5]
+
+Input: parquet with (doc_id: bigint, source: string, text: string) at
+minimum. Output: the kept (doc_id, source) corpus parquet (plus rank when
+--sample-k > 0).
+
+100 TB shape: stages 1-2 (quality + language) are pure Column expressions
+folded into ONE corpus scan — no joins, no Python, whole-stage codegen.
+Stage 3 (dedup) runs minhash-LSH banding over the survivors only (one
+band-join shuffle + candidate-only refine), connected components over the
+pair graph, and a broadcast anti-join of the tiny drop-list — the corpus
+is never shuffled. Stage 4 (sampling) is the hash-prefix pre-filtered
+stratified draw (no whole-stratum sorts).
+
+Prints one PIPELINE_METRICS JSON line: per-stage doc counts (input,
+quality-passed, lang-passed, near-dup pairs, clusters, kept, sampled) and
+wall time — the per-stage lineage a pipeline operator actually monitors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--output", required=True, help="kept-corpus parquet")
+    ap.add_argument("--langs", default="en,de,fr",
+                    help="comma list of language guesses to keep")
+    ap.add_argument("--min-chars", type=int, default=100)
+    ap.add_argument("--min-uniq-ratio", type=float, default=0.0,
+                    help="drop docs whose distinct-token ratio is below this")
+    ap.add_argument("--dedup-threshold", type=float, default=0.5,
+                    help="token-set Jaccard threshold for near-dup pairs")
+    ap.add_argument("--sample-k", type=int, default=0,
+                    help="balanced per-source sample size (0 = keep all)")
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str]) -> None:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from geojson_vt_spark.analytics import quality_cols
+    from geojson_vt_spark.training import (
+        connected_components,
+        lang_cols,
+        minhash_lsh_pairs,
+        stratified_sample,
+    )
+
+    spark = SparkSession.builder.appName(
+        "geojson-vt-spark corpus pipeline"
+    ).getOrCreate()
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.documents)
+    n_in = docs.count()
+
+    # Stages 1+2 fold into one scan: every signal is a Column expression, so
+    # Catalyst plans a single parquet pass with the combined filter pushed
+    # as far down as the format allows.
+    qc = quality_cols()
+    lc = lang_cols()
+    keep_langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+    quality_ok = (F.length("text") >= args.min_chars) & (
+        qc["uniq_ratio"] >= args.min_uniq_ratio
+    )
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_ok.alias("_q_ok"),
+        lc["guess"].alias("_lang"),
+    ).localCheckpoint(eager=True)
+    n_quality = flagged.where(F.col("_q_ok")).count()
+    survivors = flagged.where(
+        F.col("_q_ok") & F.col("_lang").isin(keep_langs)
+    )
+    n_lang = survivors.count()
+
+    # Stage 3: near-dup dedup over survivors only (the expensive stage sees
+    # the smallest possible corpus). Banded minhash candidates + exact
+    # Jaccard refine, CC grouping, broadcast drop-list anti-join.
+    toks = survivors.select(
+        "doc_id", "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    pairs = minhash_lsh_pairs(
+        toks, threshold=args.dedup_threshold
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    clusters = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    n_clusters = clusters.select("cluster_rep").distinct().count()
+    drops = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    kept = survivors.select("doc_id", "source").join(
+        F.broadcast(drops), "doc_id", "left_anti"
+    )
+
+    # Stage 4: optional balanced draw per source stratum.
+    if args.sample_k > 0:
+        out = stratified_sample(kept, k=args.sample_k)
+    else:
+        out = kept
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+
+    metrics = {
+        "docs_in": n_in,
+        "quality_passed": n_quality,
+        "lang_passed": n_lang,
+        "near_dup_pairs": n_pairs,
+        "clusters": n_clusters,
+        "docs_out": n_out,
+        "sample_k": args.sample_k,
+        "sec": round(time.time() - t0, 3),
+    }
+    print("PIPELINE_METRICS " + json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -270,3 +270,61 @@ def test_dedup_job_rejects_misnamed_input(spark, tmp_path):
             ["--documents", str(tmp_path / "corpus.parquet"),
              "--output", str(tmp_path / "out")]
         )
+
+
+def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
+    """End-to-end composed pipeline: quality gate -> language filter ->
+    near-dup dedup -> output, through a REAL spark-submit. The synthetic
+    corpus plants one doc per drop reason so every stage's count is exactly
+    checkable: 2 too-short docs (quality), 2 French docs (language), 1
+    near-duplicate of doc 0 (dedup keeps the min doc_id)."""
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+
+    filler = lambda i: " ".join(f"w{i}x{j}q" for j in range(20))  # noqa: E731
+    rows = []
+    for i in range(30):  # good English docs, mutually low-Jaccard
+        rows.append((i, "web", f"the quick {filler(i)} and more here"))
+    rows.append((100, "web", "too short"))
+    rows.append((101, "web", "tiny"))
+    fr = "les que eau est " + " ".join(f"z{j}b" for j in range(25))
+    rows.append((102, "web", fr))
+    rows.append((103, "web", fr + " plus"))
+    # near-dup of doc 0: same tokens + one extra -> Jaccard ~0.98
+    rows.append((104, "web", f"the quick {filler(0)} and more here extratok"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs_path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(docs_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_path = str(tmp_path / "clean-corpus")
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+            "--documents", docs_path,
+            "--output", out_path,
+            "--langs", "en",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    line = [
+        l for l in proc.stdout.splitlines() if l.startswith("PIPELINE_METRICS ")
+    ]
+    assert line, proc.stdout[-2000:]
+    m = json.loads(line[-1][len("PIPELINE_METRICS "):])
+    assert m["docs_in"] == 35
+    assert m["quality_passed"] == 33  # drops 100, 101
+    assert m["lang_passed"] == 31     # drops 102, 103
+    assert m["near_dup_pairs"] >= 1   # (0, 104) at least
+    assert m["docs_out"] == 30        # drops 104, keeps doc 0
+
+    kept = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert kept == set(range(30))
