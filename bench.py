@@ -149,6 +149,47 @@ def bench_analytics(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def bench_pip_scale(spark: SparkSession, n_points: int) -> dict:
+    """join-rows/sec scaling probe: synthetic points vs a 20x20 overlapping
+    box grid through point_in_box_join — cell-binned broadcast equi-join +
+    range refine + partial agg, all inside whole-stage codegen (zero Python
+    rows). The point set is materialized before the timer so the probe
+    measures the join engine, not the generator."""
+    from geojson_vt_spark.operators.spatial_join import point_in_box_join
+
+    pts = (
+        spark.range(n_points)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.pmod(F.col("id") * 2654435761, F.lit(1000000)) / 1000000.0).alias("x"),
+            (F.pmod(F.col("id") * 2246822519 + 7, F.lit(1000000)) / 1000000.0).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # 0.16-wide boxes on a 0.05 pitch: each point lands in ~10 boxes, so the
+    # probe's measured work (candidate refine + agg) is ~10 join rows per
+    # generated point — legs run long enough that per-leg fixed cost (job
+    # scheduling, codegen compile, broadcast) is noise, without growing the
+    # checkpointed point set
+    boxes = spark.range(400).select(
+        F.col("id").alias("box_id"),
+        ((F.col("id") % 20).cast("double") * 0.05).alias("minx"),
+        (F.floor(F.col("id") / 20).cast("double") * 0.05).alias("miny"),
+        ((F.col("id") % 20).cast("double") * 0.05 + 0.16).alias("maxx"),
+        (F.floor(F.col("id") / 20).cast("double") * 0.05 + 0.16).alias("maxy"),
+    )
+    t0 = time.time()
+    hits = point_in_box_join(pts, boxes, res=6)
+    n = (
+        hits.groupBy("box_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    dt = time.time() - t0
+    return {"sec": dt, "join_rows": int(n), "join_rows_per_sec": n / dt}
+
+
 def bench_cluster(spark: SparkSession, n_points: int) -> dict:
     """O17 scale path: grid-mode supercluster over seeded synthetic points."""
     from pyspark.sql import functions as F

@@ -14,6 +14,9 @@ overhead excluded by measuring inside the session):
   * minhash: LSH dedup over an 8x-amplified corpus (JVM codegen + shuffle)
   * cluster: grid-mode clustering (batched level engine: one anchor-cell
     exchange + partition-local numpy kernel per k zooms)
+  * pip: the join-rows/sec probe — point_in_box_join over synthetic points
+    vs a broadcast 20x20 box grid (cell equi-join + range refine + partial
+    agg, pure whole-stage codegen)
 
 Every workload reports the pairs local[1]->local[4], local[2]->local[8] and
 local[8]->local[32] (minhash skips the 1-core leg — a one-core shuffle job
@@ -97,11 +100,17 @@ if "minhash" in workloads:
     amp.write.mode("overwrite").parquet(amp_path)
     t0 = time.time()
     n = q_minhash_lsh_dedup(spark, "/dev/shm/bench-docs").count()
-    out["minhash_dedup_%dx" % amp_n] = {"sec": time.time() - t0, "work": n}
+    out["minhash_dedup_" + str(amp_n) + "x"] = {"sec": time.time() - t0, "work": n}
 
 if "cluster" in workloads:
     c = bench.bench_cluster(spark, n_pts)
     out["cluster"] = {"sec": c["sec"], "work": c["cluster_rows"]}
+
+if "pip" in workloads:
+    # join-rows/sec scaling probe (the north-rule metric's second half):
+    # broadcast cell equi-join + range refine + partial agg, pure codegen
+    p = bench.bench_pip_scale(spark, int(sys.argv[7]))
+    out["pip"] = {"sec": p["sec"], "work": p["join_rows"]}
 print("RESULT" + json.dumps(out))
 spark.stop()
 """
@@ -109,15 +118,18 @@ spark.stop()
 # workload -> (leg pairs, which cpu counts need that workload)
 PAIRS = {
     "pyramid": [(1, 4), (2, 8), (8, 32)],
-    "minhash": [(2, 8), (8, 32)],
+    # the r=4 banding made 1-core minhash tractable, so the clean
+    # below-the-DRAM-knee 1->4 pair is measurable for it too
+    "minhash": [(1, 4), (2, 8), (8, 32)],
     "cluster": [(1, 4), (2, 8), (8, 32)],
+    "pip": [(1, 4), (2, 8), (8, 32)],
 }
 WORKLOADS_BY_CPUS = {
-    1: "pyramid,cluster",
-    4: "pyramid,cluster",
-    2: "pyramid,minhash,cluster",
-    8: "pyramid,minhash,cluster",
-    32: "pyramid,minhash,cluster",
+    1: "pyramid,minhash,cluster,pip",
+    4: "pyramid,minhash,cluster,pip",
+    2: "pyramid,minhash,cluster,pip",
+    8: "pyramid,minhash,cluster,pip",
+    32: "pyramid,minhash,cluster,pip",
 }
 
 
@@ -139,7 +151,8 @@ def _no_orphan_jvms(timeout_s: int = 60) -> None:
 
 
 def run_once(
-    cpus: int, sf_dir: str, n_feat: int, n_pts: int, only: set, amp: int
+    cpus: int, sf_dir: str, n_feat: int, n_pts: int, only: set, amp: int,
+    n_join_pts: int,
 ) -> dict:
     _no_orphan_jvms()
     wl = ",".join(
@@ -150,7 +163,7 @@ def run_once(
     code = _WORKER % {"repo": REPO}
     proc = subprocess.run(
         [sys.executable, "-c", code, str(cpus), sf_dir, str(n_feat),
-         str(n_pts), wl, str(amp)],
+         str(n_pts), wl, str(amp), str(n_join_pts)],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -169,7 +182,9 @@ def main() -> None:
     ap.add_argument("--n-points", type=int, default=4_000_000)
     ap.add_argument("--amp", type=int, default=8,
                     help="minhash corpus amplification factor")
-    ap.add_argument("--only", default="pyramid,minhash,cluster",
+    ap.add_argument("--n-join-points", type=int, default=100_000_000,
+                    help="point count for the pip join-rows/sec probe")
+    ap.add_argument("--only", default="pyramid,minhash,cluster,pip",
                     help="comma filter of workloads to run")
     ap.add_argument("--legs", default="4,1,8,2,32",
                     help="comma list of core widths (rep-0 order)")
@@ -189,7 +204,7 @@ def main() -> None:
         order = legs if rep % 2 == 0 else tuple(reversed(legs))
         for cpus in order:
             r = run_once(cpus, args.sf_dir, args.n_features, args.n_points,
-                         only, args.amp)
+                         only, args.amp, args.n_join_points)
             for k, v in r.items():
                 cur = best.setdefault(k, {}).get(cpus)
                 if cur is None or v["sec"] < cur["sec"]:
