@@ -1,0 +1,79 @@
+"""Structured Streaming twin of incremental source maintenance (O22-O24).
+
+The reference's `updateData` (geojsonvt.ts:87-131) is a synchronous call the
+host application invokes per diff; a live tile service feeding from an event
+log wants the same semantics driven by arrival instead. This module expresses
+that as a file-source stream of *diff documents* drained through
+`engine.update_data` one micro-batch at a time:
+
+  * a diff document is one JSONL row `{"seq": <long>, "diff": <json string>}`
+    — `diff` is the reference's diff payload (add/remove/update/removeAll,
+    difference.ts:75-221) encoded as a string so its shape stays free-form;
+  * diffs are CONTROL PLANE: bounded by the protocol (the reference takes
+    them as a driver-side object), so collecting a micro-batch to the driver
+    is the correct shape — the *application* of each diff stays distributed
+    (broadcast semi/anti joins + bbox invalidation, operators/updates.py);
+  * ordering: within a micro-batch diffs apply in `seq` order; across
+    micro-batches in arrival order. With monotone seq assignment by the
+    producer the total order equals seq order, and stream-applied state is
+    identical to batch-applying the same diffs in sequence — asserted in
+    tests/test_updates.py (availableNow drain == sequential update_data,
+    including a maxFilesPerTrigger=1 multi-micro-batch run).
+
+Exactly-once: Spark's file source + checkpointLocation give at-least-once
+per micro-batch with source offsets committed after foreachBatch returns; a
+replayed batch re-applies its diffs. Remove/replace diffs are idempotent;
+`add` of an id-bearing feature is too (same-id replace). Only id-less adds
+are not, which mirrors the reference's own list-append semantics.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("diff", T.StringType(), True),
+    ]
+)
+
+
+def stream_diffs(spark, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a directory of JSONL diff documents."""
+    reader = spark.readStream.schema(DIFF_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def apply_diff_batch(engine, batch_df: DataFrame) -> int:
+    """Apply one micro-batch of diff documents to an engine, in seq order.
+    Returns the number of diffs applied (foreachBatch-friendly)."""
+    rows = batch_df.orderBy("seq").collect()  # control-plane small, by design
+    for r in rows:
+        engine.update_data(json.loads(r.diff))
+    return len(rows)
+
+
+def run_update_stream(
+    engine,
+    path: str,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain every diff document currently under `path` into the engine
+    (availableNow trigger); returns the finished StreamingQuery. A live
+    deployment drops availableNow and keeps the query running — the
+    foreachBatch body is identical."""
+    diffs = stream_diffs(engine.spark, path, max_files_per_trigger)
+    writer = diffs.writeStream.foreachBatch(
+        lambda df, _bid: apply_diff_batch(engine, df)
+    ).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,107 @@
+"""Streaming incremental maintenance (streaming/update_stream.py): a file
+stream of diff documents drained through update_data must leave the engine in
+exactly the state of batch-applying the same diffs in sequence — including
+when the drain is forced through multiple micro-batches."""
+
+import json
+
+import pytest
+
+from geojson_vt_spark.config import Options
+from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+
+
+def fc(*features):
+    return {"type": "FeatureCollection", "features": list(features)}
+
+
+def pt(fid, coords, props=None):
+    f = {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": coords},
+        "properties": props,
+    }
+    if fid is not None:
+        f["id"] = fid
+    return f
+
+
+DIFFS = [
+    {"add": [pt("f3", [40, 40], {"name": "three"})]},
+    {"remove": ["f1"]},
+    {
+        "update": [
+            {
+                "id": "f2",
+                "newGeometry": {"type": "Point", "coordinates": [-20, -20]},
+                "addOrUpdateProperties": [{"key": "name", "value": "moved"}],
+            }
+        ]
+    },
+]
+
+
+def _initial(spark):
+    return GeoJSONVTSpark(
+        spark,
+        data=fc(
+            pt("f1", [0, 0], {"name": "one"}), pt("f2", [10, 10], {"name": "two"})
+        ),
+        options=Options(updateable=True, index_max_zoom=0, index_max_points=10000),
+    )
+
+
+def _write_diffs(dirpath, diffs):
+    dirpath.mkdir()
+    for i, d in enumerate(diffs):
+        (dirpath / f"{i:04d}.json").write_text(
+            json.dumps({"seq": i, "diff": json.dumps(d)}) + "\n"
+        )
+    return str(dirpath)
+
+
+def _state(eng):
+    tile = sorted(
+        (json.dumps(f, sort_keys=True) for f in eng.get_tile(0, 0, 0)),
+    )
+    return tile, eng.get_data()
+
+
+@pytest.mark.parametrize("max_files", [None, 1])
+def test_stream_equals_sequential_batch(spark, tmp_path, max_files):
+    """max_files=None: one micro-batch applies all diffs in seq order.
+    max_files=1: three micro-batches, one diff each — cross-batch ordering."""
+    from geojson_vt_spark.streaming.update_stream import run_update_stream
+
+    path = _write_diffs(tmp_path / "diffs", DIFFS)
+
+    streamed = _initial(spark)
+    run_update_stream(
+        streamed,
+        path,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=max_files,
+    )
+
+    batch = _initial(spark)
+    for d in DIFFS:
+        batch.update_data(d)
+
+    s_tile, s_data = _state(streamed)
+    b_tile, b_data = _state(batch)
+    assert s_tile == b_tile
+    assert s_data == b_data
+    # the diffs actually did something: f1 gone, f3 present, f2 moved
+    names = {f["tags"]["name"] for f in streamed.get_tile(0, 0, 0)}
+    assert names == {"three", "moved"}
+
+
+def test_empty_stream_is_noop(spark, tmp_path):
+    from geojson_vt_spark.streaming.update_stream import run_update_stream
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    eng = _initial(spark)
+    before = _state(eng)
+    run_update_stream(eng, str(d))
+    assert _state(eng) == before
