@@ -863,6 +863,90 @@ def ann_topk_ivf_matmul(
     ).where(F.col("rank") <= k)
 
 
+def ivf_index_write(embeddings: DataFrame, path: str, nlist: int = 16) -> None:
+    """Materialize the IVF index as storage layout: the corpus written
+    `partitionBy("list_id")` (each inverted list is a physical parquet
+    directory) plus the tiny centroid table beside it. This is the 100 TB
+    continuation the in-memory IVF variants name — once lists are
+    directories, a probe-filtered query never READS non-probed lists at all
+    (Catalyst partition pruning, not a post-scan filter), so query cost is
+    ~nprobe/nlist of the corpus bytes.
+
+    Assignment uses the same codegen rank fold as q_ann_cosine_topk_ivf
+    (round-6 cosine vs broadcast centroid literals, ties to the smaller
+    centroid rank), so an index written here answers queries identically to
+    the scan-time variants — asserted in tests/test_ivf_indexed.py."""
+    spark = embeddings.sparkSession
+    cents = _ivf_centroids(embeddings, nlist)
+    ranked = _ivf_rank_structs(cents)
+    (
+        embeddings.select(
+            "vec_id", "embedding", ranked[0]["rk"].alias("list_id")
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    spark.createDataFrame(
+        [(rk, c) for rk, c in cents], "rk int, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _seq_round6_cos(a: list, b: list) -> float:
+    """Driver-side twin of _cos_lit + F.round(.., 6): sequential float64
+    left folds in the same order, so probe selection over the (tiny)
+    centroid table is bit-consistent with the codegen variants."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    path: str,
+    query_vec: list,
+    exclude_id: int | None = None,
+    nprobe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Serve a top-k query from an on-disk IVF index written by
+    ivf_index_write. Probe selection runs driver-side over the centroid
+    table (nlist rows by construction); the corpus read then carries
+    `list_id IN probes` as a PARTITION filter — the scan's file listing
+    excludes non-probed list directories, so unprobed corpus bytes are
+    never opened (plan-gated: PartitionFilters on list_id, candidate scan
+    only). Refine is the exact round-6 cosine fold against the query
+    literal + a top-k window — identical ordering contract to the other
+    IVF variants."""
+    cents = [
+        (int(r.rk), [float(v) for v in r.embedding])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cents.sort()
+    qcos = [( -_seq_round6_cos(c, query_vec), rk) for rk, c in cents]
+    probes = [rk for _negcos, rk in sorted(qcos)[:nprobe]]
+
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(probes)
+    )
+    if exclude_id is not None:
+        lists = lists.where(F.col("vec_id") != exclude_id)
+    cos = F.round(_cos_lit("embedding", [float(v) for v in query_vec]), 6)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        lists.select("vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99, n_bits: int = 8,
     n_bands: int = 4,
