@@ -14,11 +14,15 @@ that as a file-source stream of *diff documents* drained through
     is the correct shape — the *application* of each diff stays distributed
     (broadcast semi/anti joins + bbox invalidation, operators/updates.py);
   * ordering: within a micro-batch diffs apply in `seq` order; across
-    micro-batches in arrival order. With monotone seq assignment by the
-    producer the total order equals seq order, and stream-applied state is
-    identical to batch-applying the same diffs in sequence — asserted in
-    tests/test_updates.py (availableNow drain == sequential update_data,
-    including a maxFilesPerTrigger=1 multi-micro-batch run).
+    micro-batches in arrival order, where "arrival" for Spark's file source
+    means file MODIFICATION TIME — files sharing one mtime tick tie and may
+    be batched in arbitrary order. The ordered-ingest contract therefore
+    requires the producer to guarantee monotone mtimes across diff files
+    (one file per trigger interval, or explicit utimes as the tests do);
+    under that contract stream-applied state is identical to
+    batch-applying the same diffs in sequence — asserted in
+    tests/test_update_stream.py (availableNow drain == sequential
+    update_data, including a maxFilesPerTrigger=1 multi-micro-batch run).
 
 Exactly-once: Spark's file source + checkpointLocation give at-least-once
 per micro-batch with source offsets committed after foreachBatch returns; a

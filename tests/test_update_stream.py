@@ -4,6 +4,7 @@ exactly the state of batch-applying the same diffs in sequence — including
 when the drain is forced through multiple micro-batches."""
 
 import json
+import os
 
 import pytest
 
@@ -53,10 +54,17 @@ def _initial(spark):
 
 def _write_diffs(dirpath, diffs):
     dirpath.mkdir()
+    base = None
     for i, d in enumerate(diffs):
-        (dirpath / f"{i:04d}.json").write_text(
-            json.dumps({"seq": i, "diff": json.dumps(d)}) + "\n"
-        )
+        p = dirpath / f"{i:04d}.json"
+        p.write_text(json.dumps({"seq": i, "diff": json.dumps(d)}) + "\n")
+        # Spark's file source orders micro-batches by file modification
+        # time; files written within one mtime tick tie and arrive in
+        # arbitrary order. The ordered-ingest contract requires monotone
+        # arrival, so stamp strictly increasing mtimes explicitly.
+        if base is None:
+            base = p.stat().st_mtime
+        os.utime(p, (base + i, base + i))
     return str(dirpath)
 
 
