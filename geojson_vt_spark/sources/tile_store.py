@@ -1,0 +1,101 @@
+"""On-disk tile pyramid store: build once with spark-submit, serve get_tile
+from the written layout with pruned reads.
+
+The live engine (operators/engine.py) serves get_tile from checkpointed
+in-session DataFrames — right for interactive build+query, wrong for the
+deployment the north rule describes, where one cluster job materializes the
+pyramid over the 10^12-document corpus and many downstream consumers then
+read single tiles. This module is that serving layout:
+
+  * tiles are written `partitionBy("z")` and sorted within each zoom by
+    (x, y) — a get_tile(z, x, y) read prunes to ONE zoom directory at file-
+    listing time (Catalyst PartitionFilters, the same mechanism as
+    training.ivf_index_write's inverted lists) and pushes the x/y equality
+    into the parquet row-group stats (PushedFilters), so a point lookup
+    over a full-earth z14 pyramid (~10^8 tiles) touches one partition dir
+    and the few row groups whose sorted x-range covers the key;
+  * the registry (tile existence + drill-down metadata) rides beside it,
+    also z-partitioned — the "does this tile exist" probe is pruned the
+    same way.
+
+Semantics: `DiskTileServer.get_tile` returns exactly what the engine's
+`get_tile` returns for every tile the build materialized (parity-tested
+over whole fixture pyramids in tests/test_tile_store.py). What it does NOT
+do is lazy drill-down below the indexed zoom — the store is a read-only
+artifact; tiles not materialized return None. A deployment wanting
+drill-down keeps a live engine over the retained sources (the registry's
+has_source column says which ancestors can drill) — reference semantics:
+tile-index.ts:82-120 (lookup), geojsonvt.ts:62-80 (index vs on-demand).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import REGISTRY_SCHEMA, TILE_FEATURE_SCHEMA, tile_feature_from_row
+
+
+def write_tile_store(tiles: DataFrame, registry: DataFrame, path: str) -> None:
+    """Materialize a built pyramid as the serving layout. `tiles`/`registry`
+    are the engine's tiles()/registry() frames (or the pyramid job's
+    equivalents). One shuffle each (repartition by z) so every zoom becomes
+    one sorted file set; at 100 TB widen the repartition to (z, x-range)
+    buckets — the layout contract (z dirs, xy-sorted files) is unchanged."""
+    (
+        tiles.repartition(F.col("z"))
+        .sortWithinPartitions("z", "x", "y", "okey")
+        .write.mode("overwrite")
+        .partitionBy("z")
+        .parquet(f"{path}/tiles")
+    )
+    (
+        registry.repartition(F.col("z"))
+        .sortWithinPartitions("z", "x", "y")
+        .write.mode("overwrite")
+        .partitionBy("z")
+        .parquet(f"{path}/registry")
+    )
+
+
+class DiskTileServer:
+    """Point get_tile lookups against a written tile store."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        # explicit schemas: an empty store (no tiles at all) still reads
+        self.tiles = spark.read.schema(TILE_FEATURE_SCHEMA).parquet(
+            f"{path}/tiles"
+        )
+        self.registry = spark.read.schema(REGISTRY_SCHEMA).parquet(
+            f"{path}/registry"
+        )
+
+    def _key_filter(self, df: DataFrame, z: int, x: int, y: int) -> DataFrame:
+        return df.filter(
+            (F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y)
+        )
+
+    def get_tile(self, z, x, y) -> Optional[list]:
+        """Same contract as the engine's materialized-tile path
+        (operators/engine.py:_fetch): None for unknown/never-built tiles,
+        the reference tile-feature list otherwise."""
+        z, x, y = int(z), int(x), int(y)
+        if z < 0 or z > 24:
+            return None
+        z2 = 1 << z
+        x = (x + z2) & (z2 - 1)  # wrap x, reference geojsonvt.ts:94
+        if not self._key_filter(self.registry, z, x, y).count():
+            return None
+        rows = self._key_filter(self.tiles, z, x, y).collect()
+        rows.sort(key=lambda r: tuple(r.okey))
+        return [tile_feature_from_row(r.asDict()) for r in rows]
+
+    def all_tile_keys(self) -> list:
+        """Registry enumeration, for parity sweeps and consumers that shard
+        the pyramid: [(z, x, y), ...]."""
+        return [
+            (r.z, r.x, r.y)
+            for r in self.registry.select("z", "x", "y").collect()
+        ]

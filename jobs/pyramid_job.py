@@ -45,6 +45,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                     help="write the tile registry as parquet here")
     ap.add_argument("--tiles-output", default=None,
                     help="write the tile features as parquet here")
+    ap.add_argument("--tile-store", default=None,
+                    help="write the z-partitioned serving layout here "
+                    "(sources/tile_store.py: pruned get_tile point lookups)")
     ap.add_argument("--max-zoom", type=int, default=14)
     ap.add_argument("--index-max-zoom", type=int, default=5)
     ap.add_argument("--index-max-points", type=int, default=100000)
@@ -147,6 +150,10 @@ def main(argv: list[str]) -> None:
         registry = spark.read.parquet(args.output)
     if args.tiles_output:
         store.tiles_df().write.mode("overwrite").parquet(args.tiles_output)
+    if args.tile_store:
+        from geojson_vt_spark.sources.tile_store import write_tile_store
+
+        write_tile_store(store.tiles_df(), store.registry_df(), args.tile_store)
 
     per_zoom = {
         f"z{r['z']}": r["count"]

@@ -27,7 +27,7 @@ def _spark_submit():
     return exe
 
 
-def _run_job(zip_path, tmp, docs_path, workdir, out_path):
+def _run_job(zip_path, tmp, docs_path, workdir, out_path, tile_store=None):
     env = {
         k: v
         for k, v in os.environ.items()
@@ -50,7 +50,8 @@ def _run_job(zip_path, tmp, docs_path, workdir, out_path):
             "--max-zoom", "3",
             "--index-max-zoom", "3",
             "--index-max-points", "128",
-        ],
+        ]
+        + (["--tile-store", tile_store] if tile_store else []),
         capture_output=True,
         text=True,
         # run from OUTSIDE the repo so cwd-relative imports can't cheat
@@ -209,7 +210,10 @@ def test_spark_submit_pyramid_job(spark, tmp_path):
 
     workdir = str(tmp_path / "snapshots")
     out_path = str(tmp_path / "registry-out")
-    metrics = _run_job(zip_path, tmp_path, docs_path, workdir, out_path)
+    store_path = str(tmp_path / "tile-store")
+    metrics = _run_job(
+        zip_path, tmp_path, docs_path, workdir, out_path, tile_store=store_path
+    )
 
     # 4 identical docs x us-states -> same tile keys as one copy; z0 exists
     assert metrics["stats"]["z0"] == 1
@@ -219,6 +223,15 @@ def test_spark_submit_pyramid_job(spark, tmp_path):
     reg = spark.read.parquet(out_path)
     assert reg.filter("z = 0 AND x = 0 AND y = 0").count() == 1
     assert reg.count() == metrics["total"]
+
+    # the serving layout written by the job answers point lookups
+    from geojson_vt_spark.sources.tile_store import DiskTileServer
+
+    srv = DiskTileServer(spark, store_path)
+    assert len(srv.all_tile_keys()) == metrics["total"]
+    root = srv.get_tile(0, 0, 0)
+    assert root and all("geometry" in f for f in root)
+    assert srv.get_tile(9, 0, 0) is None
 
     # resume contract: a second submit against the same workdir reuses the
     # per-level snapshots (exists() short-circuits the write) and lands on

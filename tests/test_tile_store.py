@@ -1,0 +1,84 @@
+"""On-disk tile store (sources/tile_store.py): the written layout must serve
+get_tile byte-identically to the live engine for every materialized tile,
+and the point lookup must be pruned — z at the partition level, x/y pushed
+into the scan — visible in the plan, not assumed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_vt_spark.config import Options
+from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+
+from .conftest import load_fixture
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from geojson_vt_spark.sources.tile_store import (
+        DiskTileServer,
+        write_tile_store,
+    )
+
+    eng = GeoJSONVTSpark(
+        spark,
+        data=load_fixture("us-states.json"),
+        options=Options(index_max_zoom=7, index_max_points=200),
+    )
+    path = str(tmp_path_factory.mktemp("tilestore") / "store")
+    write_tile_store(eng.tiles(), eng.registry(), path)
+    return eng, DiskTileServer(spark, path)
+
+
+def test_disk_server_parity_with_engine(built):
+    """Every tile the build materialized (105 in the us-states pyramid)
+    serves identically from disk."""
+    eng, srv = built
+    expected = eng.all_tiles()
+    keys = srv.all_tile_keys()
+    assert len(keys) == len(expected) and len(keys) > 100
+    for z, x, y in keys:
+        assert srv.get_tile(z, x, y) == expected[f"z{z}-{x}-{y}"], (z, x, y)
+
+
+def test_disk_server_unknown_and_wrapped_keys(built):
+    eng, srv = built
+    assert srv.get_tile(25, 0, 0) is None  # z guard
+    assert srv.get_tile(-1, 0, 0) is None
+    assert srv.get_tile(14, 0, 0) is None  # never built
+    # negative x wraps mod 2^z (reference geojsonvt.ts:94)
+    some_z, some_x, some_y = srv.all_tile_keys()[0]
+    wrapped = srv.get_tile(some_z, some_x - (1 << some_z), some_y)
+    assert wrapped == srv.get_tile(some_z, some_x, some_y)
+
+
+def test_point_lookup_is_pruned(built):
+    """z must be a PartitionFilter (file-listing pruning), x/y must reach
+    the scan as PushedFilters (row-group stats pruning over the sorted
+    layout)."""
+    _eng, srv = built
+    df = srv._key_filter(srv.tiles, 7, 37, 48)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    line = scan_lines[0]
+    part = line.split("PartitionFilters:", 1)[1].split("PushedFilters:")[0]
+    pushed = line.split("PushedFilters:", 1)[1]
+    assert "z" in part, line
+    assert "EqualTo(x,37)" in pushed and "EqualTo(y,48)" in pushed, line
+
+    # functional proof: the scan reads exactly one zoom directory
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.length())
+        if "parquet" in leaves.apply(i).nodeName().lower()
+    ]
+    assert scans
+    assert int(scans[0].metrics().apply("numPartitions").value()) == 1
+
+
+def test_store_roundtrip_counts(built):
+    eng, srv = built
+    assert srv.tiles.count() == eng.tiles().count()
+    assert srv.registry.count() == eng.registry().count()
