@@ -73,6 +73,11 @@ _BROADCAST_TILE_LIMIT = 200_000
 _SUBTREE_MAX_POINTS = 32_000
 _SUBTREE_MIN_TILES = 48
 
+# head fusion: max extra levels one Arrow crossing may force-split when the
+# JVM lower-bound proof (_head_fuse_depth) allows it. 0 disables.
+def _head_fuse_max() -> int:
+    return int(os.environ.get("SPARK_GRAFT_HEAD_FUSE", "3"))
+
 
 def _stop_rule(z, x, y, num_points, options: Options, target) -> bool:
     """tile-index.ts:177-188: index cutoff, or drill-down target/ancestor
@@ -248,7 +253,117 @@ def _child_rows_pdf(bundle) -> pd.DataFrame:
     })
 
 
-def _level_fn(options: Options):
+def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
+    """How many consecutive levels below z may be FORCE-SPLIT in one fused
+    Arrow crossing (head fusion). Returns E: for every level j in
+    z+1..z+E, EVERY tile that can possibly be non-empty after clipping is
+    GUARANTEED to split by the stop rule, so the kernel may recurse those
+    levels in-task without consulting per-level stats — saving one
+    full-corpus Arrow round trip per fused level.
+
+    The guarantee is a JVM-side lower bound, no Python crossing: a vertex
+    of tile A's frontier copy that lies strictly inside A's own UNBUFFERED
+    core survives every clip on the path to any descendant tile whose core
+    contains it (clip windows nest and only add buffer), so the per-tile
+    count of own-core frontier vertices is a lower bound of the tile's
+    eventual num_points. The own-core filter (floor(v * 2^z) == the row's
+    own tile key) is what makes the bound sound with a plain count:
+      * buffer-strip vertices duplicated across sibling copies are counted
+        for exactly one copy — the one whose core they sit in — matching
+        the single subtree they actually descend through;
+      * vertices INSERTED by ancestor clips sit on clip-window edges,
+        outside their own copy's core, and are dropped;
+      * out-of-world vertices never satisfy the floor equality.
+    A level is safe iff every tile whose BUFFERED window intersects any
+    feature bbox (the superset of possibly-non-empty tiles) has lower bound
+    > index_max_points. One vertex-binning aggregate at the deepest
+    candidate level is reused for every coarser level via bit shifts.
+
+    If the bound ever proved unsound the driver would raise (guarantee
+    recheck against the exact fused stats in build_pyramid) instead of
+    producing a silently-divergent pyramid."""
+    zcap = min(options.index_max_zoom, options.max_zoom)
+    max_extra = min(int(max_extra), zcap - z - 1)
+    if max_extra <= 0:
+        return 0
+    cap = int(options.index_max_points)
+    p = options.buffer / options.extent
+    l_max = z + max_extra
+    sz = float(1 << z)
+    smax = float(1 << l_max)
+
+    pairs = F.explode(
+        F.expr(
+            "transform(sequence(0, int(size(coords)/2) - 1), "
+            "i -> struct(coords[2*i] AS vx, coords[2*i+1] AS vy))"
+        )
+    ).alias("p")
+    # size<2 rows would make sequence(0,-1) DESCEND instead of be empty
+    v = frontier.where(F.size("coords") >= 2).select("x", "y", pairs).select(
+        "x", "y", "p.vx", "p.vy"
+    )
+
+    binned = (
+        v.where(
+            (F.floor(F.col("vx") * sz) == F.col("x").cast("long"))
+            & (F.floor(F.col("vy") * sz) == F.col("y").cast("long"))
+        )
+        .select(
+            F.floor(F.col("vx") * smax).cast("long").alias("bx"),
+            F.floor(F.col("vy") * smax).cast("long").alias("by"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("lb"))
+        .localCheckpoint(eager=True)
+    )
+
+    bb = frontier.select("minx", "miny", "maxx", "maxy")
+    extra = 0
+    for j in range(z + 1, z + max_extra + 1):
+        sj = float(1 << j)
+        x0 = F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil(F.col("minx") * sj - 1 - p).cast("long"),
+        )
+        x1 = F.least(
+            F.lit((1 << j) - 1).cast("long"),
+            F.floor(F.col("maxx") * sj + p).cast("long"),
+        )
+        y0 = F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil(F.col("miny") * sj - 1 - p).cast("long"),
+        )
+        y1 = F.least(
+            F.lit((1 << j) - 1).cast("long"),
+            F.floor(F.col("maxy") * sj + p).cast("long"),
+        )
+        cand = (
+            bb.where((x1 >= x0) & (y1 >= y0))
+            .select(
+                F.explode(F.sequence(x0, x1)).alias("tx"),
+                y0.alias("y0"),
+                y1.alias("y1"),
+            )
+            .select(
+                "tx", F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("ty")
+            )
+            .distinct()
+        )
+        shift = l_max - j
+        lbj = binned.groupBy(
+            F.shiftright(F.col("bx"), shift).alias("tx"),
+            F.shiftright(F.col("by"), shift).alias("ty"),
+        ).agg(F.sum("lb").alias("lb"))
+        unsafe = cand.join(lbj, ["tx", "ty"], "left").where(
+            F.coalesce(F.col("lb"), F.lit(0)) <= cap
+        )
+        if not unsafe.isEmpty():
+            break
+        extra += 1
+    return extra
+
+
+def _level_fn(options: Options, extra_levels: int = 0):
     """FUSED per-level kernel: one Arrow crossing does both tile assembly and
     the 4-way split. Input: FEATURE rows + a `do_split` boolean (the driver's
     stop-rule decision, computed JVM-side from SUM(rlens) before this kernel
@@ -256,6 +371,16 @@ def _level_fn(options: Options):
     EVERY input feature (tf_* null when the feature simplifies away;
     npoints/nsimplified always set, they feed the registry aggregate), and
     kind=0 child-feature rows for the splitting tiles (the next frontier).
+
+    extra_levels > 0 is HEAD FUSION (_head_fuse_depth): the driver has
+    proved that every possibly-non-empty tile at the next `extra_levels`
+    levels must split, so the kernel recurses them in-task — assembling and
+    force-splitting each level's children without returning to the JVM —
+    and emits the frontier at z + extra_levels + 1. Per fused level this
+    saves a full-corpus Arrow round trip plus a checkpoint materialization;
+    the per-row outputs are bit-identical to the unfused path because the
+    exact same assemble/split kernels run in the exact same per-feature
+    order.
 
     Versus separate assemble + split kernels this halves the frontier's
     Arrow transfers per level — the dominant cost once the kernels are
@@ -294,20 +419,61 @@ def _level_fn(options: Options):
             yield k1[ucols]
 
             sidx = np.flatnonzero(pdf["do_split"].to_numpy())
-            if sidx.size:
-                from ..functions.flat import take as _take
+            if not sidx.size:
+                continue
+            from ..functions.flat import concat_flats, take as _take
 
-                sub = _take(fl, sidx)
-                for bundle in _split_children(
-                    sub, z[sidx], x[sidx], y[sidx], okeys[sidx], ids[sidx],
-                    tags[sidx], options,
-                ):
-                    child = _child_rows_pdf(bundle)
-                    child["kind"] = np.zeros(len(child), np.int32)
-                    for c in ucols:
-                        if c not in child.columns:
-                            child[c] = None
-                    yield child[ucols]
+            sub = _take(fl, sidx)
+            bundles = _split_children(
+                sub, z[sidx], x[sidx], y[sidx], okeys[sidx], ids[sidx],
+                tags[sidx], options,
+            )
+            for _step in range(extra_levels):
+                # head fusion: every child tile is driver-guaranteed to
+                # split — assemble this level and descend, all in-task
+                if not bundles:
+                    break
+                fl2 = concat_flats([b[0] for b in bundles])
+                z2 = np.concatenate([b[1] for b in bundles]).astype(np.int64)
+                x2 = np.concatenate([b[2] for b in bundles]).astype(np.int64)
+                y2 = np.concatenate([b[3] for b in bundles]).astype(np.int64)
+                ok2 = np.concatenate([b[4] for b in bundles])
+                id2 = np.concatenate([b[5] for b in bundles])
+                tg2 = np.concatenate([b[6] for b in bundles])
+                npts2, nsimp2, tf_type2, tf_id2, tf_tags2, tf_geom2 = (
+                    _assemble_columns(fl2, z2, x2, y2, id2, tg2, options)
+                )
+                k1f = pd.DataFrame({
+                    "z": z2.astype(np.int32),
+                    "x": x2.astype(np.int32),
+                    "y": y2.astype(np.int32),
+                    "okey": ok2,
+                    "tf_type": tf_type2,
+                    "tf_id": tf_id2,
+                    "tf_tags": tf_tags2,
+                    "tf_geom": tf_geom2,
+                    "npoints": npts2,
+                    "nsimplified": nsimp2,
+                    "minx": fl2.minx,
+                    "miny": fl2.miny,
+                    "maxx": fl2.maxx,
+                    "maxy": fl2.maxy,
+                    "kind": np.ones(fl2.n_features, np.int32),
+                })
+                for c in ucols:
+                    if c not in k1f.columns:
+                        k1f[c] = None
+                yield k1f[ucols]
+                bundles = _split_children(
+                    fl2, z2, x2, y2, ok2, id2, tg2, options
+                )
+            for bundle in bundles:
+                child = _child_rows_pdf(bundle)
+                child["kind"] = np.zeros(len(child), np.int32)
+                for c in ucols:
+                    if c not in child.columns:
+                        child[c] = None
+                yield child[ucols]
 
     return fn
 
@@ -560,6 +726,8 @@ class PyramidStore:
         self.tiles: list[DataFrame] = []
         self.registry: list[DataFrame] = []
         self.sources: list[DataFrame] = []
+        # head-fusion audit: [(level, extra_levels_fused)] per build pass
+        self.head_fused: list = []
 
     def tiles_df(self) -> DataFrame:
         return self._union(self.tiles, TILE_FEATURE_SCHEMA)
@@ -707,6 +875,7 @@ def build_pyramid(
         t0 = time.time()
         sub_future = None
         subtree_list = []
+        fuse_extra = 0
         # ---- decision stats: pure-JVM counters over the frontier (no
         # Python crossing; the stop rule needs only counts + vertex sums) ----
         stats = frontier.groupBy("z", "x", "y").agg(
@@ -813,6 +982,12 @@ def build_pyramid(
             ).cache()  # lazy — materialized only if a drill-down reads it
             flag_keys = F.broadcast(split_keys.withColumn("do_split", F.lit(True)))
             decision = None
+            if target is None and split_list:
+                fuse_extra = _head_fuse_depth(
+                    frontier, z, options, _head_fuse_max()
+                )
+                if fuse_extra:
+                    t0 = _tick(f"head-fuse proof (+{fuse_extra} levels)", t0)
         else:
             # ---- distributed decision path (web-scale levels) ----
             if expected is None and expected_keys is not None:
@@ -873,9 +1048,73 @@ def build_pyramid(
         )
         if arrow_parts:
             flagged = flagged.coalesce(arrow_parts)
-        unified = flagged.mapInPandas(_level_fn(options), UNIFIED_SCHEMA)
+        unified = flagged.mapInPandas(
+            _level_fn(options, fuse_extra), UNIFIED_SCHEMA
+        )
         unified = _checkpoint(unified, workdir, f"unified/z={z:02d}", resume)
-        t0 = _tick("fused assemble+split ckpt", t0)
+        t0 = _tick(
+            "fused assemble+split ckpt"
+            + (f" (head-fused +{fuse_extra})" if fuse_extra else ""),
+            t0,
+        )
+
+        if fuse_extra:
+            # ---- head-fusion bookkeeping: registry skeletons for the fused
+            # levels from the kernel's own kind=1 emissions (exact
+            # num_features/num_points — npoints is the same SUM(rlens) the
+            # per-level JVM stats would have computed), expected-children
+            # chains per level, and a loud recheck of the split guarantee ----
+            fus = (
+                unified.filter((F.col("kind") == 1) & (F.col("z") > z))
+                .groupBy("z", "x", "y")
+                .agg(
+                    F.count(F.lit(1)).alias("nf"),
+                    F.sum("npoints").alias("npts"),
+                )
+                .collect()
+            )
+            bylv: dict = {}
+            for r in fus:
+                bylv.setdefault(int(r.z), {})[(int(r.x), int(r.y))] = (
+                    int(r.nf), int(r.npts),
+                )
+            cap_pts = int(options.index_max_points)
+            prev_nonempty = split_list
+            extra_rows = []
+            for j in range(z + 1, z + fuse_extra + 1):
+                exp_j = [
+                    (j, kx * 2 + dx, ky * 2 + dy)
+                    for (_kz, kx, ky) in prev_nonempty
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                ]
+                m = bylv.get(j, {})
+                for key in exp_j:
+                    nf, npts = m.get((key[1], key[2]), (0, 0))
+                    if nf and npts <= cap_pts:
+                        raise RuntimeError(
+                            "head-fusion guarantee violated: tile "
+                            f"z={j} x={key[1]} y={key[2]} has num_points="
+                            f"{npts} <= index_max_points={cap_pts}; the "
+                            "lower-bound proof admitted a tile the stop "
+                            "rule would have retained. Set "
+                            "SPARK_GRAFT_HEAD_FUSE=0 and report."
+                        )
+                    extra_rows.append((j, key[1], key[2], nf, npts, False))
+                prev_nonempty = [k for k in exp_j if (k[1], k[2]) in m]
+            skel = skel.unionByName(
+                spark.createDataFrame(
+                    extra_rows,
+                    "z int, x int, y int, num_features long, "
+                    "num_points long, has_source boolean",
+                )
+            )
+            store.head_fused.append((z, fuse_extra))
+            # advance the loop past the fused levels: the next iteration's
+            # expected children derive from the DEEPEST fused level's
+            # non-empty (hence split) tiles
+            split_list = prev_nonempty
+            z += fuse_extra
         if sub_future is not None:
             unified_sub = sub_future.result()
             t0 = _tick(f"subtree join ({len(subtree_list)} tiles)", t0)
