@@ -292,14 +292,16 @@ def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
     sz = float(1 << z)
     smax = float(1 << l_max)
 
+    # coords is stride-3 [x, y, m] (model.py FEATURE_SCHEMA) — enumerate
+    # true vertices only, skipping the DP m slots
     pairs = F.explode(
         F.expr(
-            "transform(sequence(0, int(size(coords)/2) - 1), "
-            "i -> struct(coords[2*i] AS vx, coords[2*i+1] AS vy))"
+            "transform(sequence(0, int(size(coords)/3) - 1), "
+            "i -> struct(coords[3*i] AS vx, coords[3*i+1] AS vy))"
         )
     ).alias("p")
-    # size<2 rows would make sequence(0,-1) DESCEND instead of be empty
-    v = frontier.where(F.size("coords") >= 2).select("x", "y", pairs).select(
+    # size<3 rows would make sequence(0,-1) DESCEND instead of be empty
+    v = frontier.where(F.size("coords") >= 3).select("x", "y", pairs).select(
         "x", "y", "p.vx", "p.vy"
     )
 
@@ -314,7 +316,7 @@ def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
         )
         .groupBy("bx", "by")
         .agg(F.count(F.lit(1)).alias("lb"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
 
     bb = frontier.select("minx", "miny", "maxx", "maxy")
@@ -360,6 +362,7 @@ def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
         if not unsafe.isEmpty():
             break
         extra += 1
+    binned.unpersist()
     return extra
 
 
@@ -983,11 +986,28 @@ def build_pyramid(
             flag_keys = F.broadcast(split_keys.withColumn("do_split", F.lit(True)))
             decision = None
             if target is None and split_list:
-                fuse_extra = _head_fuse_depth(
-                    frontier, z, options, _head_fuse_max()
+                # a stopped-with-features tile at this level makes the proof
+                # fail for free: candidates strictly under it can only draw
+                # lower-bound mass from its own rows (<= its num_points <=
+                # cap), so skip the full-corpus vertex scan entirely
+                any_retained = any(
+                    got.get(k) is not None and got[k].num_features > 0
+                    for k in stop_list
                 )
-                if fuse_extra:
-                    t0 = _tick(f"head-fuse proof (+{fuse_extra} levels)", t0)
+                # cap the fused fan-out so the post-pass per-tile stats
+                # collect stays within the same driver bound as the
+                # per-level decision path (4x per fused level)
+                cap_extra = _head_fuse_max()
+                while cap_extra and (
+                    len(split_list) << (2 * cap_extra)
+                ) > _BROADCAST_TILE_LIMIT:
+                    cap_extra -= 1
+                if not any_retained and cap_extra:
+                    fuse_extra = _head_fuse_depth(
+                        frontier, z, options, cap_extra
+                    )
+                    if fuse_extra:
+                        t0 = _tick(f"head-fuse proof (+{fuse_extra} levels)", t0)
         else:
             # ---- distributed decision path (web-scale levels) ----
             if expected is None and expected_keys is not None:
@@ -1051,7 +1071,12 @@ def build_pyramid(
         unified = flagged.mapInPandas(
             _level_fn(options, fuse_extra), UNIFIED_SCHEMA
         )
-        unified = _checkpoint(unified, workdir, f"unified/z={z:02d}", resume)
+        # fused snapshots carry the depth in their name: resuming under a
+        # different SPARK_GRAFT_HEAD_FUSE recomputes (correct, orphaning the
+        # old snapshot) instead of silently replaying a pass whose level
+        # span the driver bookkeeping no longer matches
+        uname = f"unified/z={z:02d}" + (f"+{fuse_extra}" if fuse_extra else "")
+        unified = _checkpoint(unified, workdir, uname, resume)
         t0 = _tick(
             "fused assemble+split ckpt"
             + (f" (head-fused +{fuse_extra})" if fuse_extra else ""),

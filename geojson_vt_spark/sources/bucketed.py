@@ -28,6 +28,7 @@ DuckDB join at sf0.01.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -68,27 +69,35 @@ def colocated_doc_embedding_join(
     the bucketed layout — both tables are first materialized bucketed on
     their ids, then joined co-located (zero Exchange, plan-gated in
     tests/test_bucketed.py). Result values are layout-independent, so the
-    DuckDB oracle is the plain join."""
+    DuckDB oracle is the plain join.
+
+    Idempotent by construction: the default workdir and the table names are
+    keyed to sf_dir, so repeated invocations (bench reps, oracle harness)
+    overwrite one fixed location instead of leaking temp dirs; the returned
+    DataFrame stays readable because the backing files persist. Concurrent
+    sessions sharing one metastore should pass distinct workdirs."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     if workdir is None:
-        workdir = tempfile.mkdtemp(prefix="gvt_bucketed_")
+        workdir = os.path.join(tempfile.gettempdir(), f"gvt_bucketed_{key}")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dt, et = f"gvt_docs_b_{key}", f"gvt_emb_b_{key}"
     write_bucketed(
         docs.select("doc_id", "source", "n_chars"),
-        "gvt_docs_bucketed",
+        dt,
         "doc_id",
         n_buckets,
         path=os.path.join(workdir, "docs"),
     )
     write_bucketed(
         embs.select("vec_id", "label"),
-        "gvt_emb_bucketed",
+        et,
         "vec_id",
         n_buckets,
         path=os.path.join(workdir, "embs"),
     )
-    d = spark.table("gvt_docs_bucketed")
-    e = spark.table("gvt_emb_bucketed")
+    d = spark.table(dt)
+    e = spark.table(et)
     return (
         d.join(e, d["doc_id"] == e["vec_id"], "inner")
         .groupBy("source", "label")
