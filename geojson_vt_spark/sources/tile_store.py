@@ -99,3 +99,47 @@ class DiskTileServer:
             (r.z, r.x, r.y)
             for r in self.registry.select("z", "x", "y").collect()
         ]
+
+    def get_tiles(self, keys) -> dict:
+        """Batch point lookups: ONE registry probe + ONE tile scan for the
+        whole key list (vs one pair of jobs per key with get_tile), keyed
+        'z{z}-{x}-{y}'. Keys absent from the registry are omitted; keys the
+        registry knows but whose tile is empty map to []. The z values in
+        the batch prune the scan to exactly those zoom directories; the
+        packed-key isin pushes into row-group stats. This is the serving
+        shape for a renderer fetching a viewport (a few dozen keys) or a
+        shard sweep (thousands) — driver cost stays O(returned features)."""
+        norm = []
+        for z, x, y in keys:
+            z, x, y = int(z), int(x), int(y)
+            if z < 0 or z > 24:
+                continue
+            z2 = 1 << z
+            norm.append((z, (x + z2) & (z2 - 1), y))
+        if not norm:
+            return {}
+        packed = [(z << 50) | (x << 25) | y for z, x, y in norm]
+        key_col = (
+            F.shiftleft(F.col("z").cast("long"), 50)
+            + F.shiftleft(F.col("x").cast("long"), 25)
+            + F.col("y").cast("long")
+        )
+        known = {
+            (r.z, r.x, r.y)
+            for r in self.registry.where(key_col.isin(packed))
+            .select("z", "x", "y")
+            .collect()
+        }
+        out = {f"z{z}-{x}-{y}": [] for z, x, y in norm if (z, x, y) in known}
+        if not out:
+            return {}
+        rows = self.tiles.where(key_col.isin(packed)).collect()
+        buckets: dict = {}
+        for r in rows:
+            buckets.setdefault((r.z, r.x, r.y), []).append(r)
+        for (z, x, y), rs in buckets.items():
+            if (z, x, y) not in known:
+                continue
+            rs.sort(key=lambda r: tuple(r.okey))
+            out[f"z{z}-{x}-{y}"] = [tile_feature_from_row(r.asDict()) for r in rs]
+        return out

@@ -82,3 +82,19 @@ def test_store_roundtrip_counts(built):
     eng, srv = built
     assert srv.tiles.count() == eng.tiles().count()
     assert srv.registry.count() == eng.registry().count()
+
+
+def test_batch_get_tiles_matches_point_lookups(built):
+    eng, srv = built
+    keys = srv.all_tile_keys()
+    sample = keys[:20] + keys[-20:]
+    batch = srv.get_tiles(
+        sample
+        + [(30, 0, 0), (5, 0, 0)]  # z guard + never-built: omitted
+        + [(sample[0][0], sample[0][1] - (1 << sample[0][0]), sample[0][2])]
+    )
+    # wrapped duplicate collapses onto the same normalized key
+    assert set(batch) == {f"z{z}-{x}-{y}" for z, x, y in set(sample)}
+    for z, x, y in sample:
+        assert batch[f"z{z}-{x}-{y}"] == srv.get_tile(z, x, y), (z, x, y)
+    assert srv.get_tiles([]) == {}
