@@ -104,42 +104,61 @@ class DiskTileServer:
         """Batch point lookups: ONE registry probe + ONE tile scan for the
         whole key list (vs one pair of jobs per key with get_tile), keyed
         'z{z}-{x}-{y}'. Keys absent from the registry are omitted; keys the
-        registry knows but whose tile is empty map to []. The z values in
-        the batch prune the scan to exactly those zoom directories; the
-        packed-key isin pushes into row-group stats. This is the serving
-        shape for a renderer fetching a viewport (a few dozen keys) or a
-        shard sweep (thousands) — driver cost stays O(returned features)."""
-        norm = []
+        registry knows but whose tile is empty map to []. The batch's z
+        values prune the file listing to exactly those zoom directories
+        (attribute-level isin -> PartitionFilters) and the x/y isin sets
+        push into the xy-sorted row-group stats; the exact packed-key
+        conjunct then runs post-scan (Catalyst cannot push arithmetic).
+        This is the serving shape for a renderer fetching a viewport (a few
+        dozen keys) or a shard sweep (thousands) — driver cost stays
+        O(returned features)."""
+        norm = set()
         for z, x, y in keys:
             z, x, y = int(z), int(x), int(y)
             if z < 0 or z > 24:
                 continue
             z2 = 1 << z
-            norm.append((z, (x + z2) & (z2 - 1), y))
+            if y < 0 or y >= z2:  # no y-wrap in the reference; also keeps
+                continue  # the packed key collision-free
+            norm.add((z, (x + z2) & (z2 - 1), y))
         if not norm:
             return {}
+        # Filter = pushable attribute conjuncts (z -> PartitionFilters, so
+        # only the requested zoom dirs are LISTED; x/y isin -> PushedFilters
+        # against the xy-sorted row-group stats) AND the exact packed key
+        # (arithmetic, evaluated post-scan — Catalyst cannot push it, the
+        # attribute conjuncts do that part). Gated in test_tile_store.py:
+        # the batch scan's numPartitions == number of distinct requested z.
+        zs = sorted({z for z, _x, _y in norm})
+        xs = sorted({x for _z, x, _y in norm})
+        ys = sorted({y for _z, _x, y in norm})
         packed = [(z << 50) | (x << 25) | y for z, x, y in norm]
         key_col = (
             F.shiftleft(F.col("z").cast("long"), 50)
             + F.shiftleft(F.col("x").cast("long"), 25)
             + F.col("y").cast("long")
         )
+        flt = (
+            F.col("z").isin(zs)
+            & F.col("x").isin(xs)
+            & F.col("y").isin(ys)
+            & key_col.isin(packed)
+        )
         known = {
             (r.z, r.x, r.y)
-            for r in self.registry.where(key_col.isin(packed))
-            .select("z", "x", "y")
-            .collect()
+            for r in self.registry.where(flt).select("z", "x", "y").collect()
         }
         out = {f"z{z}-{x}-{y}": [] for z, x, y in norm if (z, x, y) in known}
         if not out:
             return {}
-        rows = self.tiles.where(key_col.isin(packed)).collect()
+        rows = self.tiles.where(flt).collect()
         buckets: dict = {}
         for r in rows:
             buckets.setdefault((r.z, r.x, r.y), []).append(r)
         for (z, x, y), rs in buckets.items():
-            if (z, x, y) not in known:
+            key = f"z{z}-{x}-{y}"
+            if key not in out:
                 continue
             rs.sort(key=lambda r: tuple(r.okey))
-            out[f"z{z}-{x}-{y}"] = [tile_feature_from_row(r.asDict()) for r in rs]
+            out[key] = [tile_feature_from_row(r.asDict()) for r in rs]
         return out

@@ -88,13 +88,62 @@ def test_batch_get_tiles_matches_point_lookups(built):
     eng, srv = built
     keys = srv.all_tile_keys()
     sample = keys[:20] + keys[-20:]
+    some_z, some_x, some_y = sample[0]
     batch = srv.get_tiles(
         sample
         + [(30, 0, 0), (5, 0, 0)]  # z guard + never-built: omitted
-        + [(sample[0][0], sample[0][1] - (1 << sample[0][0]), sample[0][2])]
+        + [(some_z, some_x - (1 << some_z), some_y)]  # x-wrap collapses
+        # out-of-range y must NOT pack-collide into a phantom neighbor:
+        # (z, x, y + 2^25) packs identically to (z, x+1, y) under |
+        + [(some_z, some_x, some_y + (1 << 25))]
     )
-    # wrapped duplicate collapses onto the same normalized key
     assert set(batch) == {f"z{z}-{x}-{y}" for z, x, y in set(sample)}
     for z, x, y in sample:
         assert batch[f"z{z}-{x}-{y}"] == srv.get_tile(z, x, y), (z, x, y)
     assert srv.get_tiles([]) == {}
+
+
+def test_batch_get_tiles_scan_is_pruned(spark, built):
+    """Same invariant as the point lookup: pruning must be visible, not
+    assumed — the batch tile scan's post-execution metric must read exactly
+    the requested zoom directories, and x/y must reach PushedFilters."""
+    _eng, srv = built
+    keys = srv.all_tile_keys()
+    zs = sorted({z for z, _x, _y in keys})
+    pick = [next(k for k in keys if k[0] == z) for z in zs[:2]]
+    # reproduce the filter get_tiles builds, gate its plan + metrics
+    sub_zs = sorted({z for z, _x, _y in pick})
+    xs = sorted({x for _z, x, _y in pick})
+    ys = sorted({y for _z, _x, y in pick})
+    packed = [(z << 50) | (x << 25) | y for z, x, y in pick]
+    key_col = (
+        F.shiftleft(F.col("z").cast("long"), 50)
+        + F.shiftleft(F.col("x").cast("long"), 25)
+        + F.col("y").cast("long")
+    )
+    df = srv.tiles.where(
+        F.col("z").isin(sub_zs)
+        & F.col("x").isin(xs)
+        & F.col("y").isin(ys)
+        & key_col.isin(packed)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    part = line.split("PartitionFilters:", 1)[1].split("PushedFilters:")[0]
+    pushed = line.split("PushedFilters:", 1)[1]
+    assert "z" in part, line
+    # single-valued isin folds to EqualTo — either form proves pushdown
+    assert ("In(x" in pushed or "EqualTo(x" in pushed), line
+    assert ("In(y" in pushed or "EqualTo(y" in pushed), line
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.length())
+        if "parquet" in leaves.apply(i).nodeName().lower()
+    ]
+    read_parts = int(scans[0].metrics().apply("numPartitions").value())
+    assert read_parts == len(sub_zs), (read_parts, sub_zs)
+    # and the filter semantics stay exact
+    got = {(r.z, r.x, r.y) for r in df.select("z", "x", "y").collect()}
+    assert got <= set(pick)
