@@ -46,6 +46,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--radius", type=float, default=40.0)
     ap.add_argument("--extent", type=int, default=512)
     ap.add_argument("--min-points", type=int, default=2)
+    ap.add_argument("--cluster-store", default=None,
+                    help="write the query-ready serving layout here "
+                    "(cluster/store.py: zoom-partitioned trees + points + "
+                    "meta; load_cluster_store serves every query surface)")
     return ap.parse_args(argv)
 
 
@@ -90,6 +94,15 @@ def main(argv: list[str]) -> None:
             per_zoom[f"z{z}"] = spark.read.parquet(f"{args.output}/z={z}").count()
         else:
             per_zoom[f"z{z}"] = trees[z].count()
+    if args.cluster_store:
+        from geojson_vt_spark.cluster.index import ClusterTileIndexSpark
+        from geojson_vt_spark.cluster.store import write_cluster_store
+
+        idx = ClusterTileIndexSpark(spark, options, method="grid")
+        idx.n_points = n_points
+        idx._points_df = pts
+        idx._grid_trees = trees
+        write_cluster_store(idx, args.cluster_store)
     metrics = {
         "n_points": n_points,
         "stats": per_zoom,

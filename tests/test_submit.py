@@ -112,6 +112,7 @@ def test_spark_submit_cluster_job(spark, tmp_path):
             os.path.join(REPO, "jobs", "cluster_job.py"),
             "--points", pts_path,
             "--output", str(tmp_path / "trees-out"),
+            "--cluster-store", str(tmp_path / "cluster-store"),
             "--max-zoom", "4",
         ],
         capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
@@ -140,6 +141,29 @@ def test_spark_submit_cluster_job(spark, tmp_path):
     for z_key, cnt in expected.items():
         out = spark.read.parquet(str(tmp_path / "trees-out" / f"z={z_key[1:]}"))
         assert out.count() == cnt
+
+    # the serving layout written by the job answers queries
+    from geojson_vt_spark.cluster.store import load_cluster_store
+
+    srv = load_cluster_store(spark, str(tmp_path / "cluster-store"))
+    assert srv.n_points == n and srv.options.max_zoom == 4
+    root = srv.get_tile(0, 0, 0)
+    # z0 emit includes buffered antimeridian world-copy duplicates at both
+    # x edges (reference tile-emit semantics), so the sum is >= n
+    total = sum(
+        f["tags"]["point_count"] if (f["tags"] or {}).get("cluster") else 1
+        for f in root
+    )
+    assert root and total >= n
+    # the un-duplicated interior accounting: bbox query at the base zoom
+    # covers every point exactly once
+    leaves = srv.get_clusters([-179.9, -85, 179.9, 85], srv.options.max_zoom + 1)
+    assert sum(
+        f["properties"]["point_count"]
+        if (f.get("properties") or {}).get("cluster")
+        else 1
+        for f in leaves
+    ) <= n
 
 
 def test_spark_submit_dedup_job(spark, tmp_path):
