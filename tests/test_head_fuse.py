@@ -54,6 +54,23 @@ def test_fused_equals_unfused_and_engages(rects):
     assert len(tiles0) > 1000  # non-vacuous corpus
 
 
+def test_sparse_corpus_never_fuses(spark):
+    """The proof must refuse on sparse data: us-states has ocean tiles with
+    bbox overlap but sub-threshold vertex mass at every head level, so no
+    level may be force-split (wrong engagement here would corrupt the
+    golden pyramids — this pins the conservative side explicitly)."""
+    from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+
+    from .conftest import load_fixture
+
+    eng = GeoJSONVTSpark(
+        spark,
+        data=load_fixture("us-states.json"),
+        options=Options(index_max_zoom=7, index_max_points=200),
+    )
+    assert eng.store.head_fused == []
+
+
 def test_fusion_respects_index_max_zoom(rects):
     feats, _ = rects
     # zcap=2: levels 1.. are within one of the stop zoom — fusion must not
