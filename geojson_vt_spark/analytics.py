@@ -476,14 +476,60 @@ FROM documents
 """
 
 
-def q_ngram_jaccard_dedup(spark, sf_dir):
-    """Near-dup detection: pairwise token-set jaccard within same source
-    bucket (bounded candidate set), threshold 0.5."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    a = d.alias("a")
-    b = d.alias("b")
+# Largest per-source bucket the all-pairs baseline may see: 20k docs is
+# ~2*10^8 candidate pairs in one bucket — the outer edge of "exact baseline
+# duty". Anything bigger must go through the banded LSH path.
+NGRAM_ALLPAIRS_MAX_SOURCE = 20_000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_source_docs: int | None = NGRAM_ALLPAIRS_MAX_SOURCE,
+    reroute: bool = False,
+) -> DataFrame:
+    """EXACT near-dup baseline: all-pairs token-set Jaccard within each
+    source bucket. Deliberately quadratic per source — it exists as the
+    ground truth the banded paths (minhash_lsh_pairs / simhash) are
+    equality- and subset-tested against, NOT as the scale path.
+
+    Scale guard (round-4 verdict #3): if any source holds more than
+    `max_source_docs` documents this either raises (default — pointing at
+    minhash_lsh_pairs) or, with reroute=True, silently runs the r=1
+    exact-recall LSH mode instead (n_hashes == n_bands: banding only prunes,
+    per-pair miss 2^-16, equality-tested in test_minhash_equals_exact_jaccard).
+    The guard's own cost is one partial-aggregated count over (source) —
+    negligible next to the join it prevents. max_source_docs=None disables.
+    """
+    docs = docs.select("doc_id", "source", "toks")
+    if max_source_docs is not None:
+        biggest = (
+            docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+            or 0
+        )
+        if biggest > max_source_docs:
+            if not reroute:
+                raise ValueError(
+                    f"ngram_jaccard_pairs is the exact all-pairs baseline: the "
+                    f"largest source bucket has {biggest} docs (> "
+                    f"{max_source_docs}), i.e. ~{biggest * (biggest - 1) // 2:,} "
+                    f"candidate pairs in one bucket. Use "
+                    f"training.minhash_lsh_pairs (banded LSH; n_hashes=n_bands "
+                    f"for the r=1 exact-recall mode), or pass reroute=True to "
+                    f"do that automatically, or raise max_source_docs if you "
+                    f"really mean it."
+                )
+            from .training import minhash_lsh_pairs
+
+            return minhash_lsh_pairs(
+                docs, threshold=threshold, n_hashes=16, n_bands=16,
+                bucket_cap=None,
+            )
+    a = docs.alias("a")
+    b = docs.alias("b")
     pairs = a.join(b, on="source").where(F.col("a.doc_id") < F.col("b.doc_id"))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))).cast("double")
@@ -493,8 +539,18 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             F.round(inter / union, 9).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.5)
+        .where(F.col("jaccard") >= threshold)
     )
+
+
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Near-dup detection: pairwise token-set jaccard within same source
+    bucket, threshold 0.5 — the exact baseline, scale-guarded (see
+    ngram_jaccard_pairs)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    return ngram_jaccard_pairs(d)
 
 
 SQL_NGRAM_JACCARD_DEDUP = """

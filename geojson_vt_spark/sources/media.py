@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -110,36 +111,49 @@ def decode_media(media: DataFrame, frame_stride: int = 5) -> DataFrame:
             "decoders (geojson_vt_spark/sources/media.py)"
         )
 
+    # every stub stat is a pure function of len(payload) and kind, so the
+    # whole Arrow batch is processed with numpy column ops: per-kind boolean
+    # masks + modular arithmetic on the length vector, and a 30-entry LUT for
+    # the (bounded) video frame-sample lists. Real codecs will be per-row by
+    # nature; the stub must not be (it was the one per-row loop in the repo).
+    frames_lut = [None] + [
+        list(range(0, nf, frame_stride)) for nf in range(1, 31)
+    ]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {f.name: [] for f in DECODED_SCHEMA.fields}
-            for doc_id, ref, kind, payload in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]
-            ):
-                payload = bytes(payload)
-                row = {
-                    "doc_id": int(doc_id),
-                    "media_ref": ref,
-                    "kind": kind,
-                    "n_bytes": len(payload),
-                    "width": None,
-                    "height": None,
-                    "n_samples": None,
-                    "sample_rate": None,
-                    "n_frames": None,
-                    "sampled_frames": None,
+            n = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            kind = pdf["kind"].to_numpy()
+            is_img = kind == "image"
+            is_aud = kind == "audio"
+            is_vid = ~is_img & ~is_aud
+
+            def masked(values, mask):
+                col = np.where(mask, values, 0).astype(object)
+                col[~mask] = None
+                return col
+
+            width = np.where(is_img, 16 + n % 240, 32 + n % 224)
+            height = np.where(is_img, 16 + (n * 7) % 240, 32 + (n * 3) % 224)
+            n_frames = 1 + n % 30
+            wh_mask = is_img | is_vid
+            sampled = np.full(len(n), None, dtype=object)
+            if is_vid.any():
+                sampled[is_vid] = [frames_lut[nf] for nf in n_frames[is_vid]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n,
+                    "width": masked(width, wh_mask),
+                    "height": masked(height, wh_mask),
+                    "n_samples": masked(n * 4, is_aud),
+                    "sample_rate": masked(np.full(len(n), 16000), is_aud),
+                    "n_frames": masked(n_frames, is_vid),
+                    "sampled_frames": sampled,
                 }
-                if kind == "image":
-                    row["width"], row["height"] = _fake_decode_image(payload)
-                elif kind == "audio":
-                    row["n_samples"], row["sample_rate"] = _fake_decode_audio(payload)
-                else:
-                    w, h, nf = _fake_decode_video(payload)
-                    row["width"], row["height"], row["n_frames"] = w, h, nf
-                    row["sampled_frames"] = list(range(0, nf, frame_stride))
-                for k, v in row.items():
-                    out[k].append(v)
-            yield pd.DataFrame(out)
+            )
 
     return media.mapInPandas(kernel, DECODED_SCHEMA)
 

@@ -99,11 +99,39 @@ def minhash_signatures(
     return tok.groupBy("doc_id", "source").agg(*aggs)
 
 
+def _cap_hot_buckets(bands: DataFrame, keys: list, cap: int | None) -> DataFrame:
+    """Drop band buckets holding more than `cap` members before a banded
+    self-join — the guard against the quadratic hot-key blow-up on web
+    corpora (one boilerplate token-set shared by millions of docs puts them
+    all in ONE (source, band, k...) bucket, and the self-join then emits
+    m*(m-1)/2 pairs on that single key: 10k sharers = 50M pairs, 1M sharers
+    = 5*10^11). Salting cannot help a self-join (the pair volume is inherent
+    to the key), so the standard production move is to drop oversized
+    buckets: members that near-duplicate each other still collide in their
+    OTHER, more selective bands, and a bucket above any sane cap is
+    boilerplate, not signal — the documented recall trade.
+
+    Cost at scale: one partial-aggregated count over the narrow bands frame
+    (same keys as the join, so the exchange is the one the join needs
+    anyway) and a broadcast anti-join against the tiny (hot keys only)
+    overflow set — no new wide shuffle."""
+    if cap is None:
+        return bands
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > cap)
+        .drop("_bsz")
+    )
+    return bands.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_band_candidates(
     docs: DataFrame,
     n_hashes: int = 64,
     n_bands: int = 16,
     hash_fn: str = "xxhash64",
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs from banded minhash LSH: two docs are candidates iff
     they agree on ALL r = n_hashes/n_bands signature values in at least one
@@ -116,7 +144,13 @@ def minhash_band_candidates(
     low J (P=81% at J=0.1 — near-all-pairs on repetitive web corpora). The
     r=4 default keeps P(candidate at J=0.1) at ~0.16% — the web-scale
     setting — at the cost of S-curve recall near the threshold (~64% at
-    J=0.5, >99.98% at J>=0.8): calibrate n_bands/r to the corpus threshold."""
+    J=0.5, >99.98% at J>=0.8): calibrate n_bands/r to the corpus threshold.
+
+    bucket_cap (default 1000): buckets holding more members are dropped
+    before the self-join (see _cap_hot_buckets — the hot-boilerplate guard;
+    None disables). Exact duplicates of a dropped boilerplate doc are still
+    caught by `dedup_exact`; the cap only forgoes NEAR-dup pairs inside
+    mega-clusters that would cost m^2/2 pairs each."""
     r = n_hashes // n_bands
     # The band self-join scans its input twice and Spark's exchange reuse
     # does NOT dedup the two sides (verified on the executed plan: 2 parquet
@@ -141,6 +175,7 @@ def minhash_band_candidates(
         ).alias("bb"),
     ).select("doc_id", "source", "bb.*")
     keys = ["source", "band"] + [f"k{j}" for j in range(r)]
+    bands = _cap_hot_buckets(bands, keys, bucket_cap)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(y, keys)
@@ -156,6 +191,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     n_bands: int = 16,
     hash_fn: str = "xxhash64",
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs (token-set Jaccard >= threshold) at scale: instead of
     the O(n^2)-per-source self-join of `ngram_jaccard_dedup`, candidates come
@@ -163,7 +199,7 @@ def minhash_lsh_pairs(
     Jaccard refine — precision is exact, recall follows the banding S-curve
     (see minhash_band_candidates; n_hashes=n_bands gives the r=1 exact-recall
     mode)."""
-    cand = minhash_band_candidates(docs, n_hashes, n_bands, hash_fn)
+    cand = minhash_band_candidates(docs, n_hashes, n_bands, hash_fn, bucket_cap)
     # The candidate frame is bytes-tiny (two longs per row) but every row
     # pays an array_intersect over two full token arrays downstream, so
     # AQE's byte-based coalesce (measured: 3 post-shuffle partitions on 8
@@ -216,12 +252,15 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _sql_minhash_replay(n_hashes: int = 64, n_bands: int = 16) -> str:
+def _sql_minhash_replay(
+    n_hashes: int = 64, n_bands: int = 16, bucket_cap: int = 1000
+) -> str:
     """DuckDB replay of the FULL banded pipeline q_minhash_lsh_dedup runs:
-    md5_60 base hash -> affine signature mins -> band equi-join -> exact
-    Jaccard refine. Every literal (affine coefficients, nibble weights) is
-    the same integer arithmetic Spark evaluates, so the oracle matches the
-    S-curve candidate set exactly — not just the idealized semantics."""
+    md5_60 base hash -> affine signature mins -> hot-bucket cap -> band
+    equi-join -> exact Jaccard refine. Every literal (affine coefficients,
+    nibble weights, the bucket cap) is the same integer arithmetic Spark
+    evaluates, so the oracle matches the S-curve candidate set exactly —
+    not just the idealized semantics."""
     r = n_hashes // n_bands
     nib = "(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
     h60 = " + ".join(f"{nib.format(pos=1 + j)} * {16 ** (14 - j)}" for j in range(15))
@@ -239,6 +278,7 @@ def _sql_minhash_replay(n_hashes: int = 64, n_bands: int = 16) -> str:
         ["x.source = y.source", "x.band = y.band"]
         + [f"x.k{j} = y.k{j}" for j in range(r)]
     )
+    kcols = ", ".join(f"k{j}" for j in range(r))
     return f"""
 WITH d AS (
   SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
@@ -253,8 +293,13 @@ WITH d AS (
   SELECT doc_id, source,
          {mins}
   FROM based GROUP BY doc_id, source
-), bands AS (
+), bands_raw AS (
 {band_selects}
+), bands AS (
+  SELECT doc_id, source, band, {kcols} FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY source, band, {kcols}) AS _bsz
+    FROM bands_raw
+  ) WHERE _bsz <= {bucket_cap}
 ), cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y ON {keys} AND x.doc_id < y.doc_id
@@ -303,7 +348,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
-def q_simhash_dedup(spark, sf_dir, hash_fn: str = "xxhash64"):
+def q_simhash_dedup(
+    spark, sf_dir, hash_fn: str = "xxhash64", bucket_cap: int | None = None
+):
     """16-bit simhash per document; near-dup pairs = same source, Hamming
     distance <= 3. Candidates via 4 bands of 4 bits (pigeonhole: ham <= 3
     over 4 bands forces >= 1 identical band, so recall is EXACTLY 1 —
@@ -312,7 +359,14 @@ def q_simhash_dedup(spark, sf_dir, hash_fn: str = "xxhash64"):
     hash_fn picks the per-token bit source: "xxhash64" (default; fastest,
     pure JVM) or "md5_16" (low 16 bits of md5's hex — bit-identical across
     engines, so the DuckDB oracle can replay the whole pipeline; recall
-    exactness is hash-agnostic)."""
+    exactness is hash-agnostic).
+
+    bucket_cap: optional hot-bucket guard (see _cap_hot_buckets). Default
+    OFF because capping breaks the pigeonhole recall-exactness this entry
+    advertises (and its ground-truth oracle); at web scale, where one
+    4-bit band value can hold n_source/16 docs, the honest scale levers are
+    a wider simhash + more/narrower bands, with the cap as the last-resort
+    bound (turn it on knowing recall drops inside mega-buckets)."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -362,6 +416,7 @@ def q_simhash_dedup(spark, sf_dir, hash_fn: str = "xxhash64"):
             )
         ).alias("b"),
     ).select("doc_id", "source", "simhash", "b.band", "b.bval")
+    bands = _cap_hot_buckets(bands, ["source", "band", "bval"], bucket_cap)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["source", "band", "bval"])
@@ -513,6 +568,7 @@ def ann_join(
     k: int = 10,
     n_bits: int = 8,
     n_bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Batch-query ANN join: top-k cosine neighbors in `corpus` for EVERY
     row of `queries` (both frames: (vec_id, embedding)) — the kNN-join
@@ -527,7 +583,13 @@ def ann_join(
     makes precision exact; recall follows the multi-probe banding bound
     (~4e-4 miss at cos >= 0.99 with 8 bits / 4 bands). The query side is
     broadcast into the refine (ANN-join batches are query-small by nature);
-    widen n_bits to shrink buckets at corpus scale."""
+    widen n_bits to shrink buckets at corpus scale.
+
+    bucket_cap: optional corpus-side hot-bucket guard (_cap_hot_buckets) —
+    a band value holding a disproportionate slice of the corpus (embedding
+    collapse, zero vectors) multiplies EVERY query landing there by the
+    bucket size. Default OFF (the oracle replays uncapped and n_bits is the
+    primary lever); set it when corpus embeddings are not well-spread."""
     planes = _hyperplanes(n_bits, 64)
     bits_per_band = n_bits // n_bands
     bmask = (1 << bits_per_band) - 1
@@ -555,7 +617,11 @@ def ann_join(
 
     # _bucket_col reads the `embedding` column, so keep it in scope per side
     qb = _bands(queries.select("vec_id", "embedding"), "q_id")
-    cb = _bands(corpus.select("vec_id", "embedding"), "c_id")
+    cb = _cap_hot_buckets(
+        _bands(corpus.select("vec_id", "embedding"), "c_id"),
+        ["band", "bval"],
+        bucket_cap,
+    )
     cand = (
         qb.join(cb, ["band", "bval"])
         .where(F.col("q_id") != F.col("c_id"))

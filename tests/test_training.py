@@ -112,6 +112,69 @@ def test_minhash_equals_exact_jaccard(spark):
     assert len(exact) > 0  # corpus actually contains near-dups
 
 
+def test_ngram_allpairs_scale_guard(spark):
+    """The exact all-pairs baseline must refuse (or reroute) oversized
+    source buckets instead of silently going quadratic (round-4 verdict #3)."""
+    import pytest
+
+    from geojson_vt_spark.analytics import ngram_jaccard_pairs
+
+    rows = [(i, "web", [f"t{i}", f"u{i}", "x"]) for i in range(50)]
+    rows += [(1000, "web", ["dup", "pair", "a"]), (1001, "web", ["dup", "pair", "a"])]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "toks"])
+
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, max_source_docs=10).collect()
+
+    # reroute runs the r=1 exact-recall LSH mode and finds the planted pair
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, max_source_docs=10, reroute=True).collect()
+    }
+    assert (1000, 1001) in got
+    # within the guard, the exact join runs and agrees with the reroute
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, max_source_docs=None).collect()
+    }
+    assert got == exact
+
+
+def test_lsh_bucket_cap_bounds_hot_boilerplate(spark):
+    """The hot-band-key guard (round-4 verdict #2): plant one boilerplate
+    token-set shared by 300 docs next to 10 genuine near-dup pairs. Without
+    the cap the boilerplate cluster emits 300*299/2 = 44,850 quadratic
+    candidates from a single band key; with the cap its buckets (all over
+    the cap) are dropped, candidate volume collapses to the 10 planted
+    pairs, and the overflow filter runs as a broadcast anti-join (no new
+    wide shuffle)."""
+    from geojson_vt_spark.training import minhash_band_candidates, minhash_lsh_pairs
+
+    n_hot = 300
+    boiler = "the quick brown fox jumps over the lazy dog again and again".split()
+    rows = [(i, "web", boiler) for i in range(n_hot)]
+    for i in range(10):  # planted identical pairs, pairwise-disjoint vocab
+        toks = [f"tok{i}_{j}" for j in range(8)]
+        rows.append((10_000 + 2 * i, "web", toks))
+        rows.append((10_001 + 2 * i, "web", toks))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "toks"])
+
+    uncapped = minhash_band_candidates(docs, bucket_cap=None).count()
+    assert uncapped == n_hot * (n_hot - 1) // 2 + 10  # the quadratic blow-up
+
+    capped_df = minhash_band_candidates(docs, bucket_cap=100)
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    assert capped == {(10_000 + 2 * i, 10_001 + 2 * i) for i in range(10)}
+
+    # end-to-end: the refine keeps the planted pairs at J=1.0
+    pairs = minhash_lsh_pairs(docs, bucket_cap=100).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == capped
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
 def test_minhash_banded_precision_and_high_j_recall(spark):
     """The web-scale b=16 x r=4 banding: output is an exact SUBSET of the
     true J>=0.5 pairs (refine makes precision exact), and every
@@ -344,6 +407,40 @@ def test_media_decode_plumbing(spark):
     aud = decoded.filter(F.col("kind") == "audio")
     assert aud.filter(F.col("n_samples") != F.col("n_bytes") * 4).count() == 0
     decoded.unpersist()
+
+
+def test_media_decode_batch_matches_scalar(spark):
+    """The vectorized (numpy mask/modular) kernel must reproduce the scalar
+    stub decoders row for row — the same batched==scalar twin discipline as
+    the clip/tile kernels."""
+    from geojson_vt_spark.sources.media import (
+        _fake_decode_audio,
+        _fake_decode_image,
+        _fake_decode_video,
+        decode_media,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = media_from_documents(docs)
+    payloads = {r.doc_id: (r.kind, bytes(r.payload)) for r in media.collect()}
+    got = {r.doc_id: r for r in decode_media(media, frame_stride=5).collect()}
+    assert set(got) == set(payloads)
+    for doc_id, (kind, payload) in payloads.items():
+        r = got[doc_id]
+        assert r.n_bytes == len(payload)
+        if kind == "image":
+            assert (r.width, r.height) == _fake_decode_image(payload)
+            assert r.n_samples is None and r.n_frames is None
+            assert r.sampled_frames is None
+        elif kind == "audio":
+            assert (r.n_samples, r.sample_rate) == _fake_decode_audio(payload)
+            assert r.width is None and r.n_frames is None
+        else:
+            w, h, nf = _fake_decode_video(payload)
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            assert r.sampled_frames == list(range(0, nf, 5))
+            assert r.n_samples is None
 
 
 def test_streaming_heatmap_matches_batch(spark, tmp_path):
