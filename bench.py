@@ -225,8 +225,28 @@ def main() -> None:
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed Python-worker pool warm-up: the first mapInPandas in a session
+    # pays the 32-process fork + pandas/numpy import (~6 s clean, far worse
+    # under host contention — this was most of r3's media_decode_stats
+    # outlier). The pool survives long JVM-only stretches (measured: media
+    # 0.7-0.9 s after a 45 s pure-JVM gap), so one warm-up de-noises every
+    # downstream mapInPandas timing.
+    spark.range(10 * cpus, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    def _settle():
+        # nudge the ContextCleaner between components: bench reps accumulate
+        # localCheckpoint blocks + shuffle files on spark.local.dir (tmpfs
+        # here), and a JVM GC is what triggers their cleanup — without it,
+        # late components run against a fuller /dev/shm and a tighter heap
+        spark.sparkContext._jvm.System.gc()
+
     def best(fn, *args):
-        runs = [fn(spark, *args) for _ in range(repeat)]
+        runs = []
+        for _ in range(repeat):
+            runs.append(fn(spark, *args))
+            _settle()
         out = dict(runs[0])
         for r in runs[1:]:
             for k, v in r.items():
@@ -245,7 +265,10 @@ def main() -> None:
         return out
 
     def best_queries(fn, *args):
-        runs = [fn(spark, *args) for _ in range(repeat)]
+        runs = []
+        for _ in range(repeat):
+            runs.append(fn(spark, *args))
+            _settle()
         return {k: min(r[k] for r in runs) for k in runs[0]}
 
     pyr = best(bench_pyramid, n_features)

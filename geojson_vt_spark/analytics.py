@@ -362,6 +362,50 @@ GROUP BY n_nationkey
 """
 
 
+def q_geo_radius_join(spark, sf_dir):
+    """Geodesic (great-circle) radius join on the sphere-aware reduced grid
+    (operators/cells.py SphereCells geometry; round-4 verdict #4): every
+    event within 500 km of each query point. Query points sit from the
+    equator up to latitude 84 — exactly where planar mercator binning
+    distorts (a fixed ground radius spans ~1/cos(lat)^2 more mercator cells
+    at lat 80) — and the longitude spread crosses the antimeridian wrap.
+    Candidates via latitude-corrected banded cells, exact haversine refine;
+    oracle = brute-force haversine over all pairs."""
+    from .operators.spatial_join import geo_radius_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("b_id"),
+        ((F.col("event_id") % 167).cast("double") - 83.0).alias("lat"),
+        ((F.col("value") % 360.0) - 180.0).alias("lng"),
+    )
+    qpts = pts.where(F.col("b_id") % 293 == 0).select(
+        F.col("b_id").alias("a_id"), "lat", "lng"
+    )
+    return geo_radius_join(qpts, pts.where(F.col("b_id") % 293 != 0), 500.0)
+
+
+SQL_GEO_RADIUS_JOIN = """
+WITH p AS (
+  SELECT event_id AS id,
+         (event_id % 167) - 83.0 AS lat,
+         (value % 360.0) - 180.0 AS lng
+  FROM events
+), a AS (SELECT id AS a_id, lat AS alat, lng AS alng FROM p WHERE id % 293 = 0),
+b AS (SELECT id AS b_id, lat AS blat, lng AS blng FROM p WHERE id % 293 <> 0),
+d AS (
+  SELECT a_id, b_id,
+         2.0 * 6371.0088 * ASIN(SQRT(
+           POW(SIN(RADIANS(blat - alat) / 2), 2)
+           + COS(RADIANS(alat)) * COS(RADIANS(blat))
+             * POW(SIN(RADIANS(blng - alng) / 2), 2)
+         )) AS dist_km
+  FROM a CROSS JOIN b
+)
+SELECT a_id, b_id, ROUND(dist_km, 6) AS dist_km FROM d WHERE dist_km <= 500.0
+"""
+
+
 def q_knn_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("a_id"),
@@ -623,6 +667,7 @@ QUERIES = {
     "count_abbrev": q_count_abbrev,
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
+    "geo_radius_join": q_geo_radius_join,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -642,6 +687,7 @@ ORACLES = {
     "count_abbrev": SQL_COUNT_ABBREV,
     "pip_join": SQL_PIP_JOIN,
     "knn_join": SQL_KNN_JOIN,
+    "geo_radius_join": SQL_GEO_RADIUS_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,

@@ -180,6 +180,122 @@ def hilbert_d_numpy(res: int, cx, cy):
     return d
 
 
+class SphereCells(CellScheme):
+    """Sphere-aware cells WITHOUT a native dependency (round-4 verdict #4):
+    a latitude-corrected "reduced grid" over lat/lng — the classic
+    reduced-Gaussian-grid construction (uniform latitude bands; per-band
+    longitude column count shrunk by cos(latitude)), the same
+    equal-ground-area goal H3/S2 serve.
+
+    Why the planar schemes above are geodesically dishonest at high
+    latitude: mercator stretches by 1/cos(lat), so a FIXED GROUND radius
+    covers ~(1/cos(lat))^2 more quadkey cells at lat 80 than at the equator
+    (~33x) — candidate rings blow up toward the poles. Here a latitude band
+    is a constant ~111 km of ground per degree everywhere, and a band at
+    latitude phi holds ~cos(phi) x fewer columns, so every cell is roughly
+    the same ground size and a ground-radius query touches O(1) cells at
+    any latitude (asserted by tests/test_cells.py::test_sphere_cells_ground_
+    area_honesty).
+
+    Input coordinates stay mercator-unit (the engine's common currency);
+    the inverse mercator unprojection (functions/projection.py formulas)
+    runs inline in Column math — pure JVM codegen, zero Python, zero native
+    deps. Cell ids pack (band << 32) | column: band count = 2^res, columns
+    per band = max(1, ceil(2^(res+1) * cos(lat_mid))).
+
+    H3Cells stays as the optional native fast path; this is the always-on
+    geodesic member of the seam."""
+
+    def __init__(self, res: int = 8):
+        self.res = res
+        self.nrows = 1 << res
+        self.max_cols = 1 << (res + 1)
+
+    # --- mercator-unit -> sphere, Column math ---
+    @staticmethod
+    def _lat(y):
+        y2 = (F.lit(180.0) - y * 360.0) * (math.pi / 180.0)
+        return F.atan(F.exp(y2)) * (360.0 / math.pi) - 90.0
+
+    @staticmethod
+    def _lng(x):
+        return x * 360.0 - 180.0
+
+    def _row(self, y):
+        return (
+            F.least(
+                F.greatest(
+                    F.floor((self._lat(y) + 90.0) / 180.0 * self.nrows), F.lit(0)
+                ),
+                F.lit(self.nrows - 1),
+            ).cast("long")
+        )
+
+    def _ncols(self, row):
+        lat_mid = (row.cast("double") + 0.5) * (180.0 / self.nrows) - 90.0
+        return F.greatest(
+            F.lit(1),
+            F.ceil(F.cos(lat_mid * (math.pi / 180.0)) * self.max_cols),
+        ).cast("long")
+
+    def _col(self, x, ncols):
+        return (
+            F.least(
+                F.greatest(
+                    F.floor((self._lng(x) + 180.0) / 360.0 * ncols.cast("double")),
+                    F.lit(0),
+                ),
+                ncols - 1,
+            ).cast("long")
+        )
+
+    def point_cell(self, x, y) -> Column:
+        row = self._row(y)
+        col = self._col(x, self._ncols(row))
+        return F.shiftleft(row, 32) + col
+
+    def bbox_cells(self, minx, miny, maxx, maxy) -> Column:
+        # mercator y grows SOUTH: miny is the northern edge (higher band)
+        row0, row1 = self._row(maxy), self._row(miny)
+        return F.flatten(
+            F.transform(
+                F.sequence(row0, row1),
+                lambda r: F.transform(
+                    F.sequence(
+                        self._col(minx, self._ncols(r)),
+                        self._col(maxx, self._ncols(r)),
+                    ),
+                    lambda c: F.shiftleft(r, 32) + c,
+                ),
+            )
+        )
+
+
+def sphere_cell_numpy(res: int, x, y):
+    """Vectorized numpy twin of SphereCells.point_cell (the test oracle)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    nrows = 1 << res
+    max_cols = 1 << (res + 1)
+    lat = np.arctan(np.exp((180.0 - y * 360.0) * math.pi / 180.0)) * (
+        360.0 / math.pi
+    ) - 90.0
+    lng = x * 360.0 - 180.0
+    row = np.clip(np.floor((lat + 90.0) / 180.0 * nrows), 0, nrows - 1).astype(
+        np.int64
+    )
+    lat_mid = (row + 0.5) * (180.0 / nrows) - 90.0
+    ncols = np.maximum(
+        1, np.ceil(np.cos(lat_mid * math.pi / 180.0) * max_cols)
+    ).astype(np.int64)
+    col = np.clip(np.floor((lng + 180.0) / 360.0 * ncols), 0, ncols - 1).astype(
+        np.int64
+    )
+    return (row << 32) + col
+
+
 class H3Cells(CellScheme):
     """H3 cells at a fixed resolution via Arrow-batched pandas UDFs.
 

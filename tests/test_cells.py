@@ -170,3 +170,170 @@ def test_join_identical_under_hilbert_scheme(spark):
         .collect()
     }
     assert base == hil and base
+
+
+# ---------------------------------------------------------------------------
+# SphereCells: the geodesically honest, dependency-free member of the seam
+# ---------------------------------------------------------------------------
+
+def _merc(lat, lng):
+    """lat/lng degrees -> mercator unit square (tests' ground-truth twin of
+    functions/projection.py)."""
+    import math
+
+    x = (lng + 180.0) / 360.0
+    s = math.sin(lat * math.pi / 180.0)
+    y = 0.5 - 0.25 * math.log((1 + s) / (1 - s)) / math.pi
+    return x, y
+
+
+def test_sphere_point_cell_matches_numpy_twin(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.cells import SphereCells, sphere_cell_numpy
+
+    res = 6
+    sch = SphereCells(res)
+    pts = [
+        _merc(lat, lng)
+        for lat in (-84.0, -60.0, -10.0, 0.0, 15.5, 45.0, 70.0, 84.0)
+        for lng in (-179.9, -120.0, -1.0, 0.0, 33.3, 120.0, 179.9)
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.select(
+        "x", "y", sch.point_cell(F.col("x"), F.col("y")).alias("c")
+    ).collect()
+    got = np.array([r.c for r in rows])
+    want = sphere_cell_numpy(
+        res, np.array([r.x for r in rows]), np.array([r.y for r in rows])
+    )
+    assert (got == want).all()
+
+
+def test_sphere_scheme_pip_join_agnostic_high_latitude(spark):
+    """point_in_box_join under SphereCells returns exactly the QuadkeyCells
+    rows (and the brute-force predicate) on a corpus concentrated at
+    latitude 75-84, where mercator distortion is strongest."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.cells import QuadkeyCells, SphereCells
+    from geojson_vt_spark.operators.spatial_join import point_in_box_join
+
+    pts = [
+        (i,) + _merc(75.0 + (i * 7 % 90) / 10.0, -179.0 + (i * 13 % 3580) / 10.0)
+        for i in range(500)
+    ]
+    pdf = spark.createDataFrame(pts, ["pid", "x", "y"])
+    boxes = []
+    for bid, (lat0, lat1, lng0, lng1) in enumerate(
+        [(75, 84, -180, -170), (76, 80, 10, 40), (82, 84, 150, 180)]
+    ):
+        x0, y1 = _merc(lat0, lng0)  # southern edge -> larger mercator y
+        x1, y0 = _merc(lat1, lng1)
+        boxes.append((bid, x0, y0, x1, y1))
+    bdf = spark.createDataFrame(boxes, ["bid", "minx", "miny", "maxx", "maxy"])
+
+    base = {
+        (r.pid, r.bid)
+        for r in point_in_box_join(pdf, bdf, scheme=QuadkeyCells(6)).collect()
+    }
+    sph = {
+        (r.pid, r.bid)
+        for r in point_in_box_join(pdf, bdf, scheme=SphereCells(6)).collect()
+    }
+    brute = {
+        (r.pid, r.bid)
+        for r in pdf.crossJoin(bdf)
+        .where(
+            (F.col("x") >= F.col("minx")) & (F.col("x") <= F.col("maxx"))
+            & (F.col("y") >= F.col("miny")) & (F.col("y") <= F.col("maxy"))
+        )
+        .collect()
+    }
+    assert base and base == sph == brute
+
+
+def test_sphere_cells_ground_area_honesty(spark):
+    """A fixed 200x200 km ground box covers O(1) SphereCells at any latitude,
+    while the planar mercator grid inflates by ~1/cos(lat)^2 toward the
+    poles — the concrete distortion the scheme exists to fix."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.cells import QuadkeyCells, SphereCells
+
+    res = 8
+    km = 200.0
+    rows = []
+    for lat in (0.0, 80.0):
+        dlat = km / 111.195
+        dlng = km / (111.195 * math.cos(lat * math.pi / 180.0))
+        x0, y1 = _merc(lat, 10.0)
+        x1, y0 = _merc(lat + dlat, 10.0 + dlng)
+        rows.append((lat, x0, y0, x1, y1))
+    df = spark.createDataFrame(rows, ["lat", "minx", "miny", "maxx", "maxy"])
+
+    def counts(scheme):
+        out = {
+            r.lat: r.n
+            for r in df.select(
+                "lat",
+                F.size(
+                    scheme.bbox_cells(
+                        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
+                    )
+                ).alias("n"),
+            ).collect()
+        }
+        return out[0.0], out[80.0]
+
+    q_eq, q_hi = counts(QuadkeyCells(res))
+    s_eq, s_hi = counts(SphereCells(res))
+    assert q_hi / q_eq > 8.0      # planar: blows up toward the pole
+    assert s_hi <= 3 * max(s_eq, 1)  # sphere-aware: stays O(1)
+
+
+def test_geo_radius_join_exact_vs_brute(spark):
+    """geo_radius_join == brute-force haversine on a set spanning the
+    equator, latitude 83, the antimeridian, and a near-polar band."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.spatial_join import geo_radius_join
+
+    b = [
+        (i, -83.0 + (i * 11 % 1660) / 10.0, -180.0 + (i * 17 % 3600) / 10.0)
+        for i in range(800)
+    ]
+    b.append((8000, 0.0, -179.9))  # ~33 km from anchor 9000 ACROSS the wrap
+    # anchors near the wrap and the pole
+    a = [
+        (9000, 0.0, 179.8),
+        (9001, 83.0, -179.5),
+        (9002, 82.5, 0.0),
+        (9003, -40.0, 10.0),
+    ]
+    adf = spark.createDataFrame(a, ["a_id", "lat", "lng"])
+    bdf = spark.createDataFrame(b, ["b_id", "lat", "lng"])
+    got = {
+        (r.a_id, r.b_id) for r in geo_radius_join(adf, bdf, 700.0).collect()
+    }
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    brute = {(p[0], q[0]) for p in a for q in b if hav(p, q) <= 700.0}
+    assert got == brute
+    assert len(brute) > 0
+    # the antimeridian wrap is exercised: anchor at lng 179.8 finds the
+    # planted b-point at lng -179.9 (a planar lng-grid without modular
+    # column wrap would miss it)
+    assert (9000, 8000) in got
