@@ -11,6 +11,12 @@ Spark-side plumbing — binary columns through Arrow, per-kind dispatch,
 batch-shaped kernels, metadata schema — is real and tested. Swap
 `_fake_decode_*` for PIL/librosa/pyav calls (the guarded import shows
 where) and nothing else changes.
+
+Real-decoder status — CONTRACT-FINAL in this sandbox (ruled 2026-08-19,
+round 4): wiring PIL behind the stub gate was attempted and is impossible
+here — `import PIL` fails, no wheel exists on disk, pip is forbidden and
+there is no network to fetch one. The gate below stays so a deployment
+where PIL IS importable fails loudly instead of serving fabricated stats.
 """
 
 from __future__ import annotations

@@ -80,15 +80,24 @@ class DiskTileServer:
     def get_tile(self, z, x, y) -> Optional[list]:
         """Same contract as the engine's materialized-tile path
         (operators/engine.py:_fetch): None for unknown/never-built tiles,
-        the reference tile-feature list otherwise."""
+        the reference tile-feature list otherwise.
+
+        One Spark job on the hot path: collect the tile rows first; only a
+        ZERO-row result needs the registry consulted (to distinguish a
+        materialized-but-empty tile, [] — rare: the builds register empty
+        children without tile rows — from a never-built key, None). Known-
+        present tiles — the overwhelming serving case — pay exactly one
+        pruned scan instead of the previous probe+scan pair."""
         z, x, y = int(z), int(x), int(y)
         if z < 0 or z > 24:
             return None
         z2 = 1 << z
         x = (x + z2) & (z2 - 1)  # wrap x, reference geojsonvt.ts:94
-        if not self._key_filter(self.registry, z, x, y).count():
-            return None
         rows = self._key_filter(self.tiles, z, x, y).collect()
+        if not rows:
+            if not self._key_filter(self.registry, z, x, y).count():
+                return None
+            return []
         rows.sort(key=lambda r: tuple(r.okey))
         return [tile_feature_from_row(r.asDict()) for r in rows]
 

@@ -53,12 +53,35 @@ def stream_diffs(spark, path: str, max_files_per_trigger: int | None = None) -> 
     return reader.json(path)
 
 
-def apply_diff_batch(engine, batch_df: DataFrame) -> int:
+def apply_diff_batch(engine, batch_df: DataFrame, strict: bool = False) -> int:
     """Apply one micro-batch of diff documents to an engine, in seq order.
-    Returns the number of diffs applied (foreachBatch-friendly)."""
+    Returns the number of diffs applied (foreachBatch-friendly).
+
+    Seq watermark: the producer contract (module docstring) promises
+    monotone mtimes so micro-batches arrive in seq order; a producer bug
+    that reorders diff files used to pass SILENTLY. The engine now carries
+    the highest seq applied (`_diff_seq_watermark`) and an incoming seq at
+    or below it warns (or raises with strict=True) BEFORE applying —
+    regression detection at runtime, not just in the docs."""
+    import warnings
+
     rows = batch_df.orderBy("seq").collect()  # control-plane small, by design
+    watermark = getattr(engine, "_diff_seq_watermark", None)
     for r in rows:
+        if r.seq is not None and watermark is not None and r.seq <= watermark:
+            msg = (
+                f"diff seq {r.seq} arrived at or below the applied watermark "
+                f"{watermark}: the producer broke the monotone-mtime ordering "
+                "contract (or re-emitted a seq) — stream state may diverge "
+                "from sequential batch application"
+            )
+            if strict:
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
         engine.update_data(json.loads(r.diff))
+        if r.seq is not None and (watermark is None or r.seq > watermark):
+            watermark = r.seq
+    engine._diff_seq_watermark = watermark
     return len(rows)
 
 
@@ -67,6 +90,7 @@ def run_update_stream(
     path: str,
     checkpoint: str | None = None,
     max_files_per_trigger: int | None = None,
+    strict: bool = False,
 ):
     """Drain every diff document currently under `path` into the engine
     (availableNow trigger); returns the finished StreamingQuery. A live
@@ -74,7 +98,7 @@ def run_update_stream(
     foreachBatch body is identical."""
     diffs = stream_diffs(engine.spark, path, max_files_per_trigger)
     writer = diffs.writeStream.foreachBatch(
-        lambda df, _bid: apply_diff_batch(engine, df)
+        lambda df, _bid: apply_diff_batch(engine, df, strict=strict)
     ).trigger(availableNow=True)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)

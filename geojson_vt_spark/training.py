@@ -894,8 +894,9 @@ def ann_topk_ivf_matmul(
     q = np.array(qrows[0][0], dtype=np.float64)
     q_hat = q / np.linalg.norm(q)
     # Probe selection mirrors _ivf_rank_structs on the query row: round-6
-    # cosine, ties to the smaller rank (argsort is stable over rank order).
-    qcos = np.round(C_hat @ q_hat, 6)
+    # HALF_UP cosine (Spark F.round semantics; np.round would tie to even),
+    # ties to the smaller rank (argsort is stable over rank order).
+    qcos = np.array([_round6_half_up(v) for v in (C_hat @ q_hat)])
     probe_ranks = (np.argsort(-qcos, kind="stable")[:nprobe] + 1).astype(np.int64)
     probes = frozenset(int(r) for r in probe_ranks)
 
@@ -907,8 +908,9 @@ def ann_topk_ivf_matmul(
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             E_hat = E / np.linalg.norm(E, axis=1, keepdims=True)
-            # first-max argmax == smallest centroid rank among round-6 ties
-            assign = np.argmax(np.round(E_hat @ C_hat.T, 6), axis=1) + 1
+            # first-max argmax == smallest centroid rank among round-6 ties;
+            # HALF_UP to match the codegen F.round (see _round6_half_up_np)
+            assign = np.argmax(_round6_half_up_np(E_hat @ C_hat.T), axis=1) + 1
             ids = pdf["vec_id"].to_numpy()
             mask = np.isin(assign, list(probes)) & (ids != query_id)
             if not mask.any():
@@ -916,7 +918,7 @@ def ann_topk_ivf_matmul(
             yield pd.DataFrame(
                 {
                     "vec_id": ids[mask],
-                    "cos": np.round(E_hat[mask] @ q_hat, 6),
+                    "cos": _round6_half_up_np(E_hat[mask] @ q_hat),
                 }
             )
 
@@ -958,10 +960,37 @@ def ivf_index_write(embeddings: DataFrame, path: str, nlist: int = 16) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _round6_half_up(x: float) -> float:
+    """Exact twin of Spark's F.round(col, 6) on a driver-side double:
+    java.math.BigDecimal(double).setScale(6, HALF_UP) == decimal.Decimal
+    (float).quantize(1e-6, ROUND_HALF_UP) — both quantize the exact binary
+    value with HALF_UP, unlike Python's built-in round (half-to-even)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _round6_half_up_np(x):
+    """Vectorized HALF_UP round-6 for the Arrow batch kernels (numpy has no
+    decimal mode; np.round is half-to-even). floor(|x|*1e6 + 0.5) with the
+    sign restored implements HALF_UP exactly except when x*1e6 itself
+    rounds across the .5 boundary in float64 — off the exact contract by
+    at most 1 ulp of the 6th decimal, and the equality contract for the
+    matmul path is ids+ranks (cos to 1e-6), not bit parity."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _seq_round6_cos(a: list, b: list) -> float:
     """Driver-side twin of _cos_lit + F.round(.., 6): sequential float64
-    left folds in the same order, so probe selection over the (tiny)
-    centroid table is bit-consistent with the codegen variants."""
+    left folds in the same order and a BigDecimal-faithful HALF_UP quantize
+    (_round6_half_up), so probe selection over the (tiny) centroid table is
+    bit-consistent with the codegen variants."""
     dot = 0.0
     for x, y in zip(a, b):
         dot += float(x) * float(y)
@@ -971,7 +1000,7 @@ def _seq_round6_cos(a: list, b: list) -> float:
     nb = 0.0
     for y in b:
         nb += float(y) * float(y)
-    return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+    return _round6_half_up(dot / (math.sqrt(na) * math.sqrt(nb)))
 
 
 def ann_topk_ivf_indexed(

@@ -74,11 +74,14 @@ def main(argv: list[str]) -> None:
 
     t0 = time.time()
     docs = spark.read.parquet(args.documents)
-    n_in = docs.count()
 
     # Stages 1+2 fold into one scan: every signal is a Column expression, so
     # Catalyst plans a single parquet pass with the combined filter pushed
-    # as far down as the format allows.
+    # as far down as the format allows. The three stage counts (input,
+    # quality-passed, lang-passed) come from ONE aggregate over that scan —
+    # sums of flag casts — never by materializing the text-bearing corpus
+    # (an eager localCheckpoint here would copy the whole input to
+    # executor-local storage and be non-replayable on executor loss).
     qc = quality_cols()
     lc = lang_cols()
     keep_langs = [s.strip() for s in args.langs.split(",") if s.strip()]
@@ -91,12 +94,17 @@ def main(argv: list[str]) -> None:
         "text",
         quality_ok.alias("_q_ok"),
         lc["guess"].alias("_lang"),
-    ).localCheckpoint(eager=True)
-    n_quality = flagged.where(F.col("_q_ok")).count()
-    survivors = flagged.where(
-        F.col("_q_ok") & F.col("_lang").isin(keep_langs)
     )
-    n_lang = survivors.count()
+    keep_flag = F.col("_q_ok") & F.col("_lang").isin(keep_langs)
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("_q_ok").cast("long")).alias("n_quality"),
+        F.sum(keep_flag.cast("long")).alias("n_lang"),
+    ).collect()[0]
+    n_in, n_quality, n_lang = int(counts.n_in), int(counts.n_quality), int(counts.n_lang)
+    # survivors re-derive lazily from the parquet scan (filter pushdown),
+    # so the dedup stage reads only survivors — no corpus checkpoint
+    survivors = flagged.where(keep_flag)
 
     # Stage 3: near-dup dedup over survivors only (the expensive stage sees
     # the smallest possible corpus). Banded minhash candidates + exact

@@ -113,3 +113,30 @@ def test_empty_stream_is_noop(spark, tmp_path):
     before = _state(eng)
     run_update_stream(eng, str(d))
     assert _state(eng) == before
+
+
+def test_out_of_order_seq_warns_and_strict_raises(spark):
+    """A producer that re-emits or reorders seqs must be detected at runtime:
+    apply_diff_batch tracks the engine's applied-seq watermark and warns (or
+    raises with strict=True) when an incoming seq is at or below it."""
+    import warnings
+
+    from geojson_vt_spark.streaming.update_stream import apply_diff_batch
+
+    eng = _initial(spark)
+    b1 = spark.createDataFrame(
+        [(5, json.dumps(DIFFS[0]))], ["seq", "diff"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning expected on first batch
+        assert apply_diff_batch(eng, b1) == 1
+    assert eng._diff_seq_watermark == 5
+
+    stale = spark.createDataFrame([(3, json.dumps(DIFFS[1]))], ["seq", "diff"])
+    with pytest.warns(UserWarning, match="watermark"):
+        apply_diff_batch(eng, stale)
+
+    eng2 = _initial(spark)
+    apply_diff_batch(eng2, b1)
+    with pytest.raises(ValueError, match="watermark"):
+        apply_diff_batch(eng2, stale, strict=True)
