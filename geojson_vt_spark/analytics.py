@@ -308,6 +308,131 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# O7 — antimeridian wrap offsets (wrap.ts:6-21), SQL-expressible point form
+# --------------------------------------------------------------------------
+
+def q_wrap_offsets(spark, sf_dir):
+    """O7 point semantics as a 3-branch union (round-4 verdict #8): clip the
+    world into left [-1-buf, buf] / center [-buf, 1+buf] / right [1-buf,
+    2+buf] copies and shift the side copies by ±1 (wrap.ts:6-21; point clip
+    keeps x in [k1, k2] — functions/clip.py:75). For points in [0,1] the
+    center copy keeps everything, the left copy keeps x <= buf shifted +1,
+    the right keeps x >= 1-buf shifted -1; wcopy carries the reference
+    concat order (left=0, center=1, right=2). Equality against the real
+    wrap_features kernel is pinned in tests/test_kernels.py."""
+    buf = 64.0 / 4096.0  # Options default buffer/extent
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("value") % 360.0) - 180.0
+    lat = (F.col("value") % 170.0) - 85.0
+    m = ev.select(
+        "event_id",
+        project_x_col(lon).alias("x"),
+        project_y_col(lat).alias("y"),
+    )
+
+    def branch(df, wcopy, shift):
+        return df.select(
+            "event_id",
+            F.lit(wcopy).cast("long").alias("wcopy"),
+            F.round(F.col("x") + shift, 9).alias("wx"),
+            F.round("y", 9).alias("wy"),
+        )
+
+    left = branch(m.where(F.col("x") <= buf), 0, 1.0)
+    center = branch(m, 1, 0.0)
+    right = branch(m.where(F.col("x") >= 1.0 - buf), 2, -1.0)
+    return left.unionByName(center).unionByName(right)
+
+
+SQL_WRAP_OFFSETS = """
+WITH m AS (
+  SELECT event_id,
+         (value % 360.0 - 180.0) / 360.0 + 0.5 AS x,
+         LEAST(GREATEST(
+           0.5 - 0.25 * LN((1.0 + SIN(RADIANS(value % 170.0 - 85.0)))
+                         / (1.0 - SIN(RADIANS(value % 170.0 - 85.0)))) / PI(),
+           0.0), 1.0) AS y
+  FROM events
+)
+SELECT event_id, CAST(0 AS BIGINT) AS wcopy,
+       ROUND(x + 1.0, 9) AS wx, ROUND(y, 9) AS wy
+FROM m WHERE x <= 0.015625
+UNION ALL
+SELECT event_id, CAST(1 AS BIGINT), ROUND(x, 9), ROUND(y, 9) FROM m
+UNION ALL
+SELECT event_id, CAST(2 AS BIGINT), ROUND(x - 1.0, 9), ROUND(y, 9)
+FROM m WHERE x >= 0.984375
+"""
+
+
+# --------------------------------------------------------------------------
+# O14 — tile transform quantization (transform.ts:67-72, JS Math.round)
+# --------------------------------------------------------------------------
+
+def _js_round_col(v):
+    """ECMA Math.round as a Column: floor(v) + (frac >= 0.5) — exact halves
+    toward +inf, WITHOUT the floor(v+0.5) float-add hazard (see
+    functions/tile.py js_round, the kernel twin)."""
+    f = F.floor(v)
+    return (f + (v - f >= 0.5).cast("long")).cast("long")
+
+
+def q_tile_quantize(spark, sf_dir):
+    """O14 as scalar math (round-4 verdict #8): project each event to
+    mercator, locate its z=10 tile, and quantize to integer tile coords
+    ix = Math.round(extent * (x * 2^z - tx)) — the exact transform.ts:67-72
+    expression the batched kernel (functions/flat.py:692) evaluates. The
+    kernel twin equality is pinned in tests/test_kernels.py."""
+    z, extent = 10, 4096
+    z2 = float(1 << z)
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("value") % 360.0) - 180.0
+    lat = (F.col("value") % 170.0) - 85.0
+    m = ev.select(
+        "event_id",
+        project_x_col(lon).alias("x"),
+        project_y_col(lat).alias("y"),
+    )
+    tx = F.least(F.floor(F.col("x") * z2), F.lit((1 << z) - 1)).cast("long")
+    ty = F.least(F.floor(F.col("y") * z2), F.lit((1 << z) - 1)).cast("long")
+    return m.select(
+        "event_id",
+        tx.alias("tx"),
+        ty.alias("ty"),
+        _js_round_col(F.lit(float(extent)) * (F.col("x") * z2 - tx)).alias("ix"),
+        _js_round_col(F.lit(float(extent)) * (F.col("y") * z2 - ty)).alias("iy"),
+    )
+
+
+SQL_TILE_QUANTIZE = """
+WITH m AS (
+  SELECT event_id,
+         (value % 360.0 - 180.0) / 360.0 + 0.5 AS x,
+         LEAST(GREATEST(
+           0.5 - 0.25 * LN((1.0 + SIN(RADIANS(value % 170.0 - 85.0)))
+                         / (1.0 - SIN(RADIANS(value % 170.0 - 85.0)))) / PI(),
+           0.0), 1.0) AS y
+  FROM events
+), t AS (
+  SELECT event_id, x, y,
+         LEAST(CAST(FLOOR(x * 1024.0) AS BIGINT), 1023) AS tx,
+         LEAST(CAST(FLOOR(y * 1024.0) AS BIGINT), 1023) AS ty
+  FROM m
+)
+SELECT event_id, tx, ty,
+       CAST(FLOOR(4096.0 * (x * 1024.0 - tx))
+            + CASE WHEN 4096.0 * (x * 1024.0 - tx)
+                        - FLOOR(4096.0 * (x * 1024.0 - tx)) >= 0.5
+                   THEN 1 ELSE 0 END AS BIGINT) AS ix,
+       CAST(FLOOR(4096.0 * (y * 1024.0 - ty))
+            + CASE WHEN 4096.0 * (y * 1024.0 - ty)
+                        - FLOOR(4096.0 * (y * 1024.0 - ty)) >= 0.5
+                   THEN 1 ELSE 0 END AS BIGINT) AS iy
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # spatial joins (north rule): PIP via cell equi-join, kNN via ring join
 # --------------------------------------------------------------------------
 
@@ -668,6 +793,8 @@ QUERIES = {
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
     "geo_radius_join": q_geo_radius_join,
+    "wrap_offsets": q_wrap_offsets,
+    "tile_quantize": q_tile_quantize,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -688,6 +815,8 @@ ORACLES = {
     "pip_join": SQL_PIP_JOIN,
     "knn_join": SQL_KNN_JOIN,
     "geo_radius_join": SQL_GEO_RADIUS_JOIN,
+    "wrap_offsets": SQL_WRAP_OFFSETS,
+    "tile_quantize": SQL_TILE_QUANTIZE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,

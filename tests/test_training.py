@@ -626,3 +626,77 @@ def test_ann_join_topk_per_query_exact_on_candidates(spark):
         coss = [c for _, c in lst]
         assert coss == sorted(coss, reverse=True)
         assert len(lst) <= 5
+
+
+def test_round4_oracles_match_duckdb(spark):
+    """Round-4 oracle promotions: the geodesic radius join (sphere cells),
+    O7 wrap offsets, and O14 js_round quantization."""
+    from .oracle_harness import run_all
+
+    names = {"geo_radius_join", "wrap_offsets", "tile_quantize"}
+    res = run_all(spark, SF, names=names)
+    assert set(res) == names
+    bad = {k: v for k, v in res.items() if not v.get("hash_match")}
+    assert not bad, bad
+
+
+def test_wrap_offsets_matches_kernel(spark):
+    """The O7 3-branch Column form must equal the REAL wrap kernel
+    (convert_geojson -> wrap_features) run over the same points."""
+    from geojson_vt_spark.analytics import q_wrap_offsets
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.functions.convert import convert_geojson
+    from geojson_vt_spark.functions.wrap import wrap_features
+
+    got = {
+        (r.event_id, r.wcopy): (r.wx, r.wy)
+        for r in q_wrap_offsets(spark, SF).collect()
+    }
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value").collect()
+    opts = Options()
+    feats = []
+    for r in ev:
+        lon = (r.value % 360.0) - 180.0
+        lat = (r.value % 170.0) - 85.0
+        geo = {
+            "type": "Feature",
+            "id": int(r.event_id),
+            "properties": None,
+            "geometry": {"type": "Point", "coordinates": [lon, lat]},
+        }
+        feats.extend(convert_geojson(geo, opts))
+    want = {}
+    for wcopy, f in wrap_features(feats, opts):
+        pts = f["rings"][0]["pts"]
+        want[(int(f["id"]), int(wcopy))] = (float(pts[0]), float(pts[1]))
+    assert set(got) == set(want)
+    for k, (wx, wy) in want.items():
+        gx, gy = got[k]
+        assert abs(gx - wx) < 1e-9 and abs(gy - wy) < 1e-9, k
+
+
+def test_tile_quantize_matches_kernel(spark):
+    """The O14 Column js_round must equal the kernel js_round (ECMA
+    Math.round) on the same projected coordinates."""
+    import numpy as np
+
+    from geojson_vt_spark.analytics import q_tile_quantize
+    from geojson_vt_spark.functions.projection import project_x, project_y
+    from geojson_vt_spark.functions.tile import js_round
+
+    got = {
+        r.event_id: (r.tx, r.ty, r.ix, r.iy)
+        for r in q_tile_quantize(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value").collect()
+    z2, extent = 1024, 4096.0
+    for r in ev:
+        lon = (r.value % 360.0) - 180.0
+        lat = (r.value % 170.0) - 85.0
+        x, y = project_x(lon), project_y(lat)
+        tx = min(int(np.floor(x * z2)), z2 - 1)
+        ty = min(int(np.floor(y * z2)), z2 - 1)
+        ix = int(js_round(np.array([extent * (x * z2 - tx)]))[0])
+        iy = int(js_round(np.array([extent * (y * z2 - ty)]))[0])
+        assert got[r.event_id] == (tx, ty, ix, iy), r.event_id
