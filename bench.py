@@ -99,8 +99,14 @@ def bench_pyramid(spark: SparkSession, n_features: int) -> dict:
     )
     t0 = time.time()
     store = build_pyramid(feats, options)
-    n_tiles = store.registry_df().count()
-    n_tile_features = store.tiles_df().count()
+    # the two output counts are independent jobs over lazy union plans —
+    # run them concurrently so the scheduler interleaves their stages
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_reg = ex.submit(lambda: store.registry_df().count())
+        f_til = ex.submit(lambda: store.tiles_df().count())
+        n_tiles, n_tile_features = f_reg.result(), f_til.result()
     dt = time.time() - t0
     return {
         "sec": dt,

@@ -60,6 +60,11 @@ from ..functions.tile import GEOJSONVT_CLIP_END, GEOJSONVT_CLIP_START, js_div
 # the tile list is comfortably below the driver/executor broadcast limit
 _BROADCAST_TILE_LIMIT = 200_000
 
+# carried per-tile decision stats (same fields the stats.collect Rows expose)
+from collections import namedtuple  # noqa: E402
+
+_StatRow = namedtuple("_StatRow", ["num_features", "num_points"])
+
 # subtree phase: once a splitting tile's vertex count fits one task, its whole
 # sub-pyramid is finished inside a single applyInPandas group (no further
 # per-level jobs/shuffles for that subtree). The per-level BFS keeps running
@@ -279,6 +284,14 @@ def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
     > index_max_points. One vertex-binning aggregate at the deepest
     candidate level is reused for every coarser level via bit shifts.
 
+    Cost: ONE Spark job. All candidate levels are checked together — the
+    binned counts explode to every level's tile key by bit shift, the
+    per-level candidate sets union with a level column, and a single
+    groupBy(level).min(lower_bound) collect answers every level at once
+    (the round-3 shape ran a join + isEmpty action PER level, which made
+    the proof cost ~3 serial jobs and dominate the small-corpus build —
+    6.2 s of a 12 s pyramid at the 10k bench point).
+
     If the bound ever proved unsound the driver would raise (guarantee
     recheck against the exact fused stats in build_pyramid) instead of
     producing a silently-divergent pyramid."""
@@ -316,12 +329,33 @@ def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
         )
         .groupBy("bx", "by")
         .agg(F.count(F.lit(1)).alias("lb"))
-        .cache()
+    )
+
+    levels = list(range(z + 1, z + max_extra + 1))
+    # every level's tile-keyed lower bounds from the ONE binned aggregate
+    lb_all = (
+        binned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.shiftright(F.col("bx"), l_max - j).alias("tx"),
+                            F.shiftright(F.col("by"), l_max - j).alias("ty"),
+                        )
+                        for j in levels
+                    ]
+                )
+            ).alias("s"),
+            "lb",
+        )
+        .groupBy("s.j", "s.tx", "s.ty")
+        .agg(F.sum("lb").alias("lb"))
     )
 
     bb = frontier.select("minx", "miny", "maxx", "maxy")
-    extra = 0
-    for j in range(z + 1, z + max_extra + 1):
+    cand_parts = []
+    for j in levels:
         sj = float(1 << j)
         x0 = F.greatest(
             F.lit(0).cast("long"),
@@ -339,30 +373,38 @@ def _head_fuse_depth(frontier, z: int, options: Options, max_extra: int) -> int:
             F.lit((1 << j) - 1).cast("long"),
             F.floor(F.col("maxy") * sj + p).cast("long"),
         )
-        cand = (
+        cand_parts.append(
             bb.where((x1 >= x0) & (y1 >= y0))
             .select(
+                F.lit(j).alias("j"),
                 F.explode(F.sequence(x0, x1)).alias("tx"),
                 y0.alias("y0"),
                 y1.alias("y1"),
             )
             .select(
-                "tx", F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("ty")
+                "j",
+                "tx",
+                F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("ty"),
             )
-            .distinct()
         )
-        shift = l_max - j
-        lbj = binned.groupBy(
-            F.shiftright(F.col("bx"), shift).alias("tx"),
-            F.shiftright(F.col("by"), shift).alias("ty"),
-        ).agg(F.sum("lb").alias("lb"))
-        unsafe = cand.join(lbj, ["tx", "ty"], "left").where(
-            F.coalesce(F.col("lb"), F.lit(0)) <= cap
-        )
-        if not unsafe.isEmpty():
+    cand = cand_parts[0]
+    for part in cand_parts[1:]:
+        cand = cand.unionByName(part)
+    # duplicate candidate rows are harmless under the MIN — skip per-level
+    # distincts; one aggregate answers every level
+    worst = {
+        r.j: r.wlb
+        for r in cand.join(lb_all, ["j", "tx", "ty"], "left")
+        .groupBy("j")
+        .agg(F.min(F.coalesce(F.col("lb"), F.lit(0))).alias("wlb"))
+        .collect()
+    }
+    extra = 0
+    for j in levels:
+        wlb = worst.get(j)  # absent = no candidate tiles at j = nothing unsafe
+        if wlb is not None and wlb <= cap:
             break
         extra += 1
-    binned.unpersist()
     return extra
 
 
@@ -765,6 +807,20 @@ class PyramidStore:
 
 
 _CKPT_POOL = None
+_PROOF_POOL = None
+
+
+def _proof_pool():
+    """Dedicated thread for the speculative head-fuse proof, separate from
+    the checkpoint pool so a queued subtree materialization never serializes
+    behind the proof (both are plain concurrent Spark jobs; task slots cap
+    actual parallelism)."""
+    global _PROOF_POOL
+    if _PROOF_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PROOF_POOL = ThreadPoolExecutor(max_workers=1)
+    return _PROOF_POOL
 
 
 def _ckpt_pool():
@@ -823,6 +879,8 @@ def build_pyramid(
     expected_keys: Optional[list] = [start]  # driver mode; None once too large
     z = z0
     first_level = True
+    pre_got: Optional[dict] = None  # next level's stats carried from the
+    # fused bookkeeping collect (one aggregate answers both; saves a job)
 
     def _stop_rule_py(tz, tx, ty, num_points):
         if target is None:
@@ -879,6 +937,25 @@ def build_pyramid(
         sub_future = None
         subtree_list = []
         fuse_extra = 0
+        spec_proof = None
+        # ---- speculative head-fuse proof: at the HEAD iteration the fusion
+        # gate (no retained stops at z0) almost always passes and the proof
+        # is the level's dominant job, so launch it concurrently with the
+        # stats collect below and consume (or discard) it after the gate.
+        # Deeper levels keep the sequential gated path — speculating there
+        # would pay a full-frontier job per level that the gate usually
+        # rejects. cap from expected_keys (>= split_list) is conservative,
+        # so min() with the post-stats cap stays sound.
+        if z == z0 and target is None and expected_keys is not None:
+            cap_spec = _head_fuse_max()
+            while cap_spec and (
+                len(expected_keys) << (2 * cap_spec)
+            ) > _BROADCAST_TILE_LIMIT:
+                cap_spec -= 1
+            if cap_spec:
+                spec_proof = _proof_pool().submit(
+                    _head_fuse_depth, frontier, z, options, cap_spec
+                )
         # ---- decision stats: pure-JVM counters over the frontier (no
         # Python crossing; the stop rule needs only counts + vertex sums) ----
         stats = frontier.groupBy("z", "x", "y").agg(
@@ -888,13 +965,18 @@ def build_pyramid(
 
         driver_mode = expected_keys is not None and len(expected_keys) <= _BROADCAST_TILE_LIMIT
 
+        carried, pre_got = pre_got, None
         if driver_mode:
             # ---- driver-side decision path: the per-level tile-count is
             # bounded (<= 4 x previous splits), so the split/stop decision
             # table fits the driver; one job per level instead of four.
             # Tile DATA stays distributed; only per-tile counters come back.
-            got = {(r.z, r.x, r.y): r for r in stats.collect()}
-            t0 = _tick("stats collect (JVM counters)", t0)
+            if carried is not None:
+                got = carried
+                t0 = _tick("stats carried (fused bookkeeping agg)", t0)
+            else:
+                got = {(r.z, r.x, r.y): r for r in stats.collect()}
+                t0 = _tick("stats collect (JVM counters)", t0)
             skel_rows = []
             split_list: list = []
             stop_list: list = []
@@ -1003,11 +1085,17 @@ def build_pyramid(
                 ) > _BROADCAST_TILE_LIMIT:
                     cap_extra -= 1
                 if not any_retained and cap_extra:
-                    fuse_extra = _head_fuse_depth(
-                        frontier, z, options, cap_extra
-                    )
+                    if spec_proof is not None:
+                        fuse_extra = min(spec_proof.result(), cap_extra)
+                        spec_proof = None
+                    else:
+                        fuse_extra = _head_fuse_depth(
+                            frontier, z, options, cap_extra
+                        )
                     if fuse_extra:
                         t0 = _tick(f"head-fuse proof (+{fuse_extra} levels)", t0)
+            if spec_proof is not None:
+                spec_proof.result()  # gate rejected the speculation: drain
         else:
             # ---- distributed decision path (web-scale levels) ----
             if expected is None and expected_keys is not None:
@@ -1088,16 +1176,29 @@ def build_pyramid(
             # levels from the kernel's own kind=1 emissions (exact
             # num_features/num_points — npoints is the same SUM(rlens) the
             # per-level JVM stats would have computed), expected-children
-            # chains per level, and a loud recheck of the split guarantee ----
-            fus = (
-                unified.filter((F.col("kind") == 1) & (F.col("z") > z))
-                .groupBy("z", "x", "y")
+            # chains per level, and a loud recheck of the split guarantee.
+            # The SAME aggregate also groups the kind=0 frontier rows, so the
+            # NEXT level's decision stats ride this collect for free (carried
+            # via pre_got — one serial job per fused pass instead of two) ----
+            comb = (
+                unified.filter(F.col("kind").isin(0, 1))
+                .groupBy("kind", "z", "x", "y")
                 .agg(
                     F.count(F.lit(1)).alias("nf"),
-                    F.sum("npoints").alias("npts"),
+                    F.sum(
+                        F.when(F.col("kind") == 1, F.col("npoints")).otherwise(
+                            npts_col
+                        )
+                    ).alias("npts"),
                 )
                 .collect()
             )
+            fus = [r for r in comb if r.kind == 1 and r.z > z]
+            pre_got = {
+                (r.z, r.x, r.y): _StatRow(int(r.nf), int(r.npts))
+                for r in comb
+                if r.kind == 0
+            }
             bylv: dict = {}
             for r in fus:
                 bylv.setdefault(int(r.z), {})[(int(r.x), int(r.y))] = (
