@@ -456,10 +456,35 @@ def _nation_boxes(spark, sf_dir):
     )
 
 
+def _cell_scheme(res: int):
+    """Resolve the cell scheme for the cell-binned joins from
+    SPARK_GRAFT_CELL_SCHEME (quadkey default; hilbert = S2-style locality
+    curve; sphere = latitude-corrected equal-ground-area grid; h3 = native
+    fast path where libh3 exists). Join RESULTS are scheme-invariant (the
+    cell layer only generates candidates — contract-tested in
+    tests/test_cells.py), so the oracle stays green under every member."""
+    import os
+
+    from .operators.cells import (
+        H3Cells,
+        HilbertCells,
+        QuadkeyCells,
+        SphereCells,
+    )
+
+    name = os.environ.get("SPARK_GRAFT_CELL_SCHEME", "quadkey")
+    return {
+        "quadkey": QuadkeyCells,
+        "hilbert": HilbertCells,
+        "sphere": SphereCells,
+        "h3": H3Cells,
+    }[name](res)
+
+
 def q_pip_join(spark, sf_dir):
     pts = _event_points(spark, sf_dir)
     boxes = _nation_boxes(spark, sf_dir)
-    hits = point_in_box_join(pts, boxes, res=6)
+    hits = point_in_box_join(pts, boxes, res=6, scheme=_cell_scheme(6))
     return hits.groupBy("n_nationkey").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("event_id").alias("id_sum"),

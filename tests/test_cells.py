@@ -337,3 +337,15 @@ def test_geo_radius_join_exact_vs_brute(spark):
     # planted b-point at lng -179.9 (a planar lng-grid without modular
     # column wrap would miss it)
     assert (9000, 8000) in got
+
+
+@pytest.mark.parametrize("scheme", ["sphere", "hilbert"])
+def test_pip_join_oracle_green_under_scheme(spark, monkeypatch, scheme):
+    """The DRIVER oracle row for pip_join stays green with the sphere-aware
+    (and Hilbert) scheme swapped in via SPARK_GRAFT_CELL_SCHEME — the
+    round-4 verdict #4 done-criterion, checked literally."""
+    monkeypatch.setenv("SPARK_GRAFT_CELL_SCHEME", scheme)
+    from .oracle_harness import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names={"pip_join"})
+    assert res["pip_join"].get("hash_match"), res["pip_join"]
