@@ -556,6 +556,52 @@ SELECT a_id, b_id, ROUND(dist_km, 6) AS dist_km FROM d WHERE dist_km <= 500.0
 """
 
 
+def q_geo_knn_join(spark, sf_dir):
+    """Exact great-circle kNN (radius-doubling certification over the
+    sphere-aware reduced grid): top-5 haversine neighbors among all other
+    events for every 293rd event. Same lat -83..83 / wrap-crossing point
+    derivation as geo_radius_join; oracle = brute-force haversine kNN."""
+    from .operators.spatial_join import geo_knn_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("b_id"),
+        ((F.col("event_id") % 167).cast("double") - 83.0).alias("lat"),
+        ((F.col("value") % 360.0) - 180.0).alias("lng"),
+    )
+    qpts = pts.where(F.col("b_id") % 293 == 0).select(
+        F.col("b_id").alias("a_id"), "lat", "lng"
+    )
+    return geo_knn_join(qpts, pts.where(F.col("b_id") % 293 != 0), k=5)
+
+
+SQL_GEO_KNN_JOIN = """
+WITH p AS (
+  SELECT event_id AS id,
+         (event_id % 167) - 83.0 AS lat,
+         (value % 360.0) - 180.0 AS lng
+  FROM events
+), a AS (SELECT id AS a_id, lat AS alat, lng AS alng FROM p WHERE id % 293 = 0),
+b AS (SELECT id AS b_id, lat AS blat, lng AS blng FROM p WHERE id % 293 <> 0),
+d AS (
+  SELECT a_id, b_id,
+         ROUND(2.0 * 6371.0088 * ASIN(SQRT(
+           POW(SIN(RADIANS(blat - alat) / 2), 2)
+           + COS(RADIANS(alat)) * COS(RADIANS(blat))
+             * POW(SIN(RADIANS(blng - alng) / 2), 2)
+         )), 6) AS dist_km
+  FROM a CROSS JOIN b
+)
+SELECT a_id, b_id, dist_km, rank FROM (
+  SELECT a_id, b_id, dist_km,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a_id ORDER BY dist_km, b_id
+         ) AS BIGINT) AS rank
+  FROM d
+) WHERE rank <= 5
+"""
+
+
 def q_knn_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("a_id"),
@@ -818,6 +864,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
     "geo_radius_join": q_geo_radius_join,
+    "geo_knn_join": q_geo_knn_join,
     "wrap_offsets": q_wrap_offsets,
     "tile_quantize": q_tile_quantize,
     "dedup_exact": q_dedup_exact,
@@ -840,6 +887,7 @@ ORACLES = {
     "pip_join": SQL_PIP_JOIN,
     "knn_join": SQL_KNN_JOIN,
     "geo_radius_join": SQL_GEO_RADIUS_JOIN,
+    "geo_knn_join": SQL_GEO_KNN_JOIN,
     "wrap_offsets": SQL_WRAP_OFFSETS,
     "tile_quantize": SQL_TILE_QUANTIZE,
     "dedup_exact": SQL_DEDUP_EXACT,

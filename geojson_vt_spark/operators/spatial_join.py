@@ -249,6 +249,72 @@ def geo_radius_join(
     )
 
 
+def geo_knn_join(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    res: int = 6,
+    init_radius_km: float = 200.0,
+) -> DataFrame:
+    """Exact great-circle k-nearest-neighbors: for every a-point the k
+    closest b-points by haversine distance. The geodesic member of the kNN
+    family (planar `knn_join` certifies via Chebyshev cell rings, which is
+    only metric-honest in projected space).
+
+    Certification is radius doubling over `geo_radius_join`: the radius
+    cover is a SUPERSET by construction, so any b-point NOT returned at
+    radius R is provably farther than R — an a-point with >= k candidates
+    inside R is settled outright (its kth distance is <= R and nothing
+    unseen can beat it). Unsettled points double R and retry; R reaches the
+    half-circumference (~20016 km, the maximum great-circle distance) in
+    <= 7 doublings from the 200 km default, where every pair is a candidate
+    and everything settles — the loop cannot fail to terminate.
+
+    Scale shape: each round joins ONLY the unsettled a-points (same
+    settled-bookkeeping as knn_join, broadcast semi/anti joins +
+    localCheckpoint); candidates per round are banded sphere cells, never a
+    cartesian. Ordering contract: (round-6 haversine km, b_id) — DuckDB-
+    replayable, ties deterministic."""
+    half_circumference = math.pi * _EARTH_RADIUS_KM  # max great-circle dist
+    unsettled = a.select(a_id, "lat", "lng")
+    results = []
+    radius = float(init_radius_km)
+    while True:
+        cand = geo_radius_join(unsettled, b, radius, a_id, b_id, res)
+        w = Window.partitionBy(a_id).orderBy(
+            F.col("dist_km").asc(), F.col(b_id).asc()
+        )
+        ranked = cand.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).where(F.col("rank") <= k)
+        if radius >= half_circumference:
+            results.append(ranked.select(a_id, b_id, "dist_km", "rank"))
+            break
+        settled_ids = (
+            ranked.groupBy(a_id)
+            .agg(F.count(F.lit(1)).alias("found"))
+            .where(F.col("found") >= k)
+            .select(a_id)
+        )
+        results.append(
+            ranked.join(F.broadcast(settled_ids), a_id, "leftsemi").select(
+                a_id, b_id, "dist_km", "rank"
+            )
+        )
+        unsettled = unsettled.join(
+            F.broadcast(settled_ids), a_id, "left_anti"
+        ).localCheckpoint(eager=True)
+        if unsettled.isEmpty():
+            break
+        radius *= 2.0
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def knn_join(
     a: DataFrame,
     b: DataFrame,

@@ -349,3 +349,55 @@ def test_pip_join_oracle_green_under_scheme(spark, monkeypatch, scheme):
 
     res = run_all(spark, "/root/testdata/sf0.001", names={"pip_join"})
     assert res["pip_join"].get("hash_match"), res["pip_join"]
+
+
+def test_geo_knn_join_exact_vs_brute(spark):
+    """geo_knn_join == brute-force haversine kNN, including an anchor whose
+    5 nearest sit across the antimeridian and one needing several radius
+    doublings (isolated near the pole)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.operators.spatial_join import geo_knn_join
+
+    b = [
+        (i, -83.0 + (i * 11 % 1660) / 10.0, -180.0 + (i * 17 % 3600) / 10.0)
+        for i in range(400)
+    ]
+    a = [
+        (9000, 0.0, 179.8),   # wrap
+        (9001, 83.0, -179.5),  # high-lat wrap
+        (9002, -82.9, 5.0),    # near-polar: sparse neighborhood
+        (9003, 10.0, 10.0),
+    ]
+    adf = spark.createDataFrame(a, ["a_id", "lat", "lng"])
+    bdf = spark.createDataFrame(b, ["b_id", "lat", "lng"])
+    k = 5
+    got = {
+        (r.a_id, r.rank): r.b_id
+        for r in geo_knn_join(adf, bdf, k=k, init_radius_km=50.0).collect()
+    }
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return round(2 * 6371.0088 * math.asin(math.sqrt(h)), 6)
+
+    want = {}
+    for p in a:
+        ranked = sorted(((hav(p, q), q[0]) for q in b))[:k]
+        for rk, (_d, bid) in enumerate(ranked, 1):
+            want[(p[0], rk)] = bid
+    assert got == want
+    assert len(got) == len(a) * k
+
+
+def test_geo_knn_oracle_green(spark):
+    from .oracle_harness import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names={"geo_knn_join"})
+    assert res["geo_knn_join"].get("hash_match"), res["geo_knn_join"]
