@@ -140,6 +140,7 @@ def bench_analytics(spark: SparkSession, sf_dir: str) -> dict:
 
     queries = entry.queries()
     picks = [
+        "geo_radius_join", "geo_knn_join",
         "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
         "ann_join", "dedup_exact",
         "minhash_lsh_dedup", "simhash_dedup", "leaves_pagination",
