@@ -58,16 +58,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from geojson_vt_spark.analytics import QUERIES
     from geojson_vt_spark.sources.bucketed import QUERIES as BUCKETED_QUERIES
+    from geojson_vt_spark.sources.documents import QUERIES as DOCUMENTS_QUERIES
     from geojson_vt_spark.sources.media import QUERIES as MEDIA_QUERIES
     from geojson_vt_spark.training import QUERIES as TRAINING_QUERIES
 
-    return {**QUERIES, **TRAINING_QUERIES, **MEDIA_QUERIES, **BUCKETED_QUERIES}
+    return {
+        **QUERIES,
+        **TRAINING_QUERIES,
+        **MEDIA_QUERIES,
+        **BUCKETED_QUERIES,
+        **DOCUMENTS_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     from geojson_vt_spark.analytics import ORACLES
     from geojson_vt_spark.sources.bucketed import ORACLES as BUCKETED_ORACLES
+    from geojson_vt_spark.sources.documents import ORACLES as DOCUMENTS_ORACLES
     from geojson_vt_spark.sources.media import ORACLES as MEDIA_ORACLES
     from geojson_vt_spark.training import ORACLES as TRAINING_ORACLES
 
-    return {**ORACLES, **TRAINING_ORACLES, **MEDIA_ORACLES, **BUCKETED_ORACLES}
+    return {
+        **ORACLES,
+        **TRAINING_ORACLES,
+        **MEDIA_ORACLES,
+        **BUCKETED_ORACLES,
+        **DOCUMENTS_ORACLES,
+    }

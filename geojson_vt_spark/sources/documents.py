@@ -163,3 +163,114 @@ def span_sequence_violations(before: DataFrame, after: DataFrame) -> DataFrame:
         )
         .select("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle surface: the input_hint's per-row invariant as a driver-checked
+# query — build the interleaved span table Column-side from the testdata
+# documents, round-trip it through the engine's distribution plumbing
+# (posexplode -> shuffle -> per-doc reassembly, the same explode/reassemble
+# shape features_from_documents and the update path use), and emit the
+# reassembled (kind, text, media_ref, order) sequence. The DuckDB oracle
+# constructs the ground-truth sequence directly, so any reorder / drop /
+# rewrite across the shuffle shows up as a row-count or value-hash mismatch.
+# span_sequence_violations additionally rides along: a violating doc emits
+# an ord=-1 row the oracle does not have.
+# --------------------------------------------------------------------------
+
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        ((F.col("doc_id") % 360) - 180).cast("string"),
+        F.lit(","),
+        ((F.col("doc_id") % 170) - 85).cast("string"),
+        F.lit("]}"),
+    )
+    media_ref = F.concat(
+        F.lit("media://img/"),
+        F.substring(
+            F.sha2(
+                F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")),
+                256,
+            ),
+            1,
+            16,
+        ),
+    )
+    nul = F.lit(None).cast("string")
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    before = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", F.substring("text", 1, 40), nul, 0),
+            span("geojson", payload, nul, 1),
+            span("media", nul, media_ref, 2),
+            span("text", F.substring("text", 41, 40), nul, 3),
+        ).alias("spans"),
+    )
+    # round-trip across a real shuffle: spans scatter to arbitrary
+    # partitions, then reassemble per doc ordered by offset
+    exploded = before.select("doc_id", F.explode("spans").alias("s")).repartition(
+        "doc_id"
+    )
+    after = exploded.groupBy("doc_id").agg(
+        F.expr(
+            "array_sort(collect_list(s), (l, r) -> l.offset - r.offset)"
+        ).alias("spans")
+    )
+    flat = after.select(
+        "doc_id", F.posexplode("spans").alias("ord", "s")
+    ).select(
+        "doc_id",
+        F.col("ord").cast("long").alias("ord"),
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    viol = span_sequence_violations(before, after).select(
+        "doc_id",
+        F.lit(-1).cast("long").alias("ord"),
+        F.lit(-1).cast("long").alias("offset"),
+        F.lit("VIOLATION").alias("kind"),
+        nul.alias("text"),
+        nul.alias("media_ref"),
+    )
+    return flat.unionByName(viol)
+
+
+SQL_SPAN_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS ord,
+       CAST(0 AS BIGINT) AS "offset", 'text' AS kind,
+       substr(text, 1, 40) AS text, CAST(NULL AS VARCHAR) AS media_ref
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       'geojson',
+       '{"type":"Point","coordinates":[' || CAST(doc_id % 360 - 180 AS VARCHAR)
+         || ',' || CAST(doc_id % 170 - 85 AS VARCHAR) || ']}',
+       CAST(NULL AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       'media', CAST(NULL AS VARCHAR),
+       'media://img/' || substr(sha256(source || ':' || CAST(doc_id AS VARCHAR)), 1, 16)
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+       'text', substr(text, 41, 40), CAST(NULL AS VARCHAR)
+FROM documents
+"""
+
+
+QUERIES = {"span_roundtrip": q_span_roundtrip}
+ORACLES = {"span_roundtrip": SQL_SPAN_ROUNDTRIP}

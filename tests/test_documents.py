@@ -61,3 +61,14 @@ def test_multi_doc_feature_order(spark):
     # z0 root ordering is compared; us-states has no antimeridian features so
     # feature sets are identical
     assert [f["id"] for f in got["z0-0-0"]] == [f["id"] for f in exp["z0-0-0"]]
+
+
+def test_span_roundtrip_oracle_parity(spark):
+    """The input_hint invariant as a driver-checked oracle row: Column-built
+    interleaved spans survive explode -> shuffle -> per-doc reassembly with
+    (kind, text, media_ref, order) intact, matching the DuckDB-constructed
+    ground truth value-for-value (oracle_harness = the driver's compare)."""
+    from .oracle_harness import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names={"span_roundtrip"})
+    assert res["span_roundtrip"].get("hash_match"), res["span_roundtrip"]
