@@ -115,7 +115,12 @@ class GeoJSONVTSpark:
 
     def all_tiles(self) -> dict:
         """Collect the whole pyramid keyed 'z{z}-{x}-{y}' -> [tile features]
-        (the reference genTiles shape). One Spark job."""
+        (the reference genTiles shape). One Spark job.
+
+        TEST SURFACE, NOT SERVING: this materializes every tile on the
+        driver — reference-parity and fixture comparisons only. Serving
+        reads go through DiskTileServer.get_tile/get_tiles
+        (sources/tile_store.py), which scan only the pruned partitions."""
         rows = self.tiles().collect()
         reg = self.registry().select("z", "x", "y").collect()
         out: dict = {}
@@ -289,7 +294,12 @@ class GeoJSONVTSpark:
         )
 
     def get_data(self) -> dict:
-        """Source export as GeoJSON (O25; geojsonvt.ts:133-136)."""
+        """Source export as GeoJSON (O25; geojsonvt.ts:133-136).
+
+        TEST SURFACE, NOT SERVING: collects the whole source to the driver
+        (the reference API contract). Pipelines that need the corpus back
+        out keep it distributed via deconvert.features_to_geojson over the
+        sources DataFrame instead."""
         if not self.options.updateable:
             raise ValueError(
                 "to retrieve data the `updateable` option must be set to true"
