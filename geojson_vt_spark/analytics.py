@@ -433,6 +433,158 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# O5 — ring metrics: shoelace area + path length (convert.ts:153-183)
+# --------------------------------------------------------------------------
+
+def q_ring_metrics(spark, sf_dir):
+    """O5 as declarative window math: each user's events, ordered by
+    event_id, form one projected polyline; `path_len` is the reference's
+    line `size` (sum of consecutive segment lengths) and `ring_area` the
+    polygon `size` (abs shoelace sum over consecutive pairs, / 2) —
+    EXACTLY the `size +=` accumulation of convert.ts:153-183 /
+    functions/convert.py:_convert_ring, which never inserts a closing
+    segment (input rings arrive closed). Pure LEAD window + groupBy sums:
+    JVM codegen, one shuffle on user_id. Kernel parity is pinned in
+    tests/test_training.py::test_ring_metrics_matches_kernel."""
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("value") % 360.0) - 180.0
+    lat = (F.col("value") % 170.0) - 85.0
+    m = ev.select(
+        "event_id",
+        "user_id",
+        project_x_col(lon).alias("x"),
+        project_y_col(lat).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    nx, ny = F.lead("x").over(w), F.lead("y").over(w)
+    seg = m.select(
+        "user_id",
+        "x",
+        "y",
+        nx.alias("nx"),
+        ny.alias("ny"),
+    )
+    dx, dy = F.col("nx") - F.col("x"), F.col("ny") - F.col("y")
+    hyp = F.when(F.col("nx").isNotNull(), F.sqrt(dx * dx + dy * dy)).otherwise(0.0)
+    cross = F.when(
+        F.col("nx").isNotNull(),
+        (F.col("x") * F.col("ny") - F.col("nx") * F.col("y")) / 2.0,
+    ).otherwise(0.0)
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(F.sum(hyp), 9).alias("path_len"),
+            F.round(F.abs(F.sum(cross)), 9).alias("ring_area"),
+        )
+    )
+
+
+SQL_RING_METRICS = """
+WITH m AS (
+  SELECT event_id, user_id,
+         (value % 360.0 - 180.0) / 360.0 + 0.5 AS x,
+         LEAST(GREATEST(
+           0.5 - 0.25 * LN((1.0 + SIN(RADIANS(value % 170.0 - 85.0)))
+                         / (1.0 - SIN(RADIANS(value % 170.0 - 85.0)))) / PI(),
+           0.0), 1.0) AS y
+  FROM events
+), seg AS (
+  SELECT user_id, x, y,
+         LEAD(x) OVER (PARTITION BY user_id ORDER BY event_id) AS nx,
+         LEAD(y) OVER (PARTITION BY user_id ORDER BY event_id) AS ny
+  FROM m
+)
+SELECT user_id,
+       ROUND(SUM(CASE WHEN nx IS NULL THEN 0.0
+                      ELSE SQRT((nx - x) * (nx - x) + (ny - y) * (ny - y)) END),
+             9) AS path_len,
+       ROUND(ABS(SUM(CASE WHEN nx IS NULL THEN 0.0
+                          ELSE (x * ny - nx * y) / 2.0 END)), 9) AS ring_area
+FROM seg GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# O15 — getTile serving-key math: x wrap into [0, 2^z) (tile-index.ts:86)
+# --------------------------------------------------------------------------
+
+def q_xwrap_serve(spark, sf_dir):
+    """O15's first serving step as scalar math: the requested x is wrapped
+    into [0, 2^z) with the double-mod `((x % z2) + z2) % z2`
+    (tile-index.ts:86 — JS `%` keeps the dividend's sign, exactly like
+    Spark's and DuckDB's integer `%`, which is why the reference needs the
+    two-step form for negative x and we replicate it verbatim). z spans the
+    full guarded range 0..24 (geojsonvt.ts:77-85); x_raw covers negative
+    and beyond-world values. 2^z via POWER (exact in double for z <= 24)."""
+    ev = _t(spark, sf_dir, "events")
+    z = (F.col("event_id") % 25).cast("long")
+    z2 = F.pow(F.lit(2.0), z).cast("long")
+    xr = ((F.col("event_id") % 8191) - 4096).cast("long")
+    xw = ((xr % z2) + z2) % z2
+    return ev.select(
+        "event_id",
+        z.alias("z"),
+        xr.alias("x_raw"),
+        xw.alias("x_wrapped"),
+    )
+
+
+SQL_XWRAP_SERVE = """
+SELECT event_id,
+       CAST(event_id % 25 AS BIGINT) AS z,
+       CAST(event_id % 8191 - 4096 AS BIGINT) AS x_raw,
+       CAST(((event_id % 8191 - 4096)
+              % CAST(POWER(2, event_id % 25) AS BIGINT)
+             + CAST(POWER(2, event_id % 25) AS BIGINT))
+            % CAST(POWER(2, event_id % 25) AS BIGINT) AS BIGINT) AS x_wrapped
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# O20 — cluster id encode / origin decode (cluster-tile-index.ts:415,461-468)
+# --------------------------------------------------------------------------
+
+def q_cluster_id_codec(spark, sf_dir):
+    """O20's id bit-codec as a round trip: encode
+    id = (i << 5) + (zoom + 1) + n_points (cluster-tile-index.ts:415), then
+    decode origin_zoom = (id - n) % 32 and origin_id = (id - n) >> 5
+    (getOriginZoom/getOriginId, cluster-tile-index.ts:461-468) — the decode
+    recovers the encoded zoom+1 and index because zoom+1 <= 24 < 32 stays
+    inside the low 5 bits, the invariant expansion-zoom lookups rely on.
+    n_points is the corpus row count, like the reference's
+    this.points.length — computed as a broadcast scalar, no driver collect."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    zoom = (F.col("event_id") % 24).cast("long")
+    cid = F.col("event_id") * 32 + (zoom + 1) + F.col("n")
+    dec = cid - F.col("n")
+    return ev.join(F.broadcast(n)).select(
+        "event_id",
+        cid.alias("cluster_id"),
+        (dec % 32).alias("origin_zoom"),
+        ((dec - dec % 32) / 32).cast("long").alias("origin_id"),
+    )
+
+
+SQL_CLUSTER_ID_CODEC = """
+WITH n AS (SELECT COUNT(*) AS n FROM events),
+e AS (
+  SELECT event_id,
+         event_id * 32 + (event_id % 24 + 1) + n.n AS cluster_id,
+         n.n AS n
+  FROM events, n
+)
+SELECT event_id,
+       cluster_id,
+       CAST((cluster_id - n) % 32 AS BIGINT) AS origin_zoom,
+       CAST(((cluster_id - n) - (cluster_id - n) % 32) / 32 AS BIGINT)
+         AS origin_id
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
 # spatial joins (north rule): PIP via cell equi-join, kNN via ring join
 # --------------------------------------------------------------------------
 
@@ -867,6 +1019,9 @@ QUERIES = {
     "geo_knn_join": q_geo_knn_join,
     "wrap_offsets": q_wrap_offsets,
     "tile_quantize": q_tile_quantize,
+    "ring_metrics": q_ring_metrics,
+    "xwrap_serve": q_xwrap_serve,
+    "cluster_id_codec": q_cluster_id_codec,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -890,6 +1045,9 @@ ORACLES = {
     "geo_knn_join": SQL_GEO_KNN_JOIN,
     "wrap_offsets": SQL_WRAP_OFFSETS,
     "tile_quantize": SQL_TILE_QUANTIZE,
+    "ring_metrics": SQL_RING_METRICS,
+    "xwrap_serve": SQL_XWRAP_SERVE,
+    "cluster_id_codec": SQL_CLUSTER_ID_CODEC,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,

@@ -700,3 +700,76 @@ def test_tile_quantize_matches_kernel(spark):
         ix = int(js_round(np.array([extent * (x * z2 - tx)]))[0])
         iy = int(js_round(np.array([extent * (y * z2 - ty)]))[0])
         assert got[r.event_id] == (tx, ty, ix, iy), r.event_id
+
+
+def test_round4b_oracles_match_duckdb(spark):
+    """Late round-4 oracle promotions: O5 ring metrics (shoelace/length as
+    window math), O15 x-wrap serving math, O20 cluster-id codec."""
+    from .oracle_harness import run_all
+
+    names = {"ring_metrics", "xwrap_serve", "cluster_id_codec"}
+    res = run_all(spark, SF, names=names)
+    assert set(res) == names
+    bad = {k: v for k, v in res.items() if not v.get("hash_match")}
+    assert not bad, bad
+
+
+def test_ring_metrics_matches_kernel(spark):
+    """The O5 window-math Column form must equal the REAL convert kernel's
+    `size` accumulation (convert.ts:153-183 / functions/convert.py
+    _convert_ring): per user, a LineString of the ordered raw lon/lat points
+    yields size == path_len, and a Polygon ring of the same points yields
+    size == ring_area (the kernel never inserts a closing segment, so the
+    open sequence compares 1:1)."""
+    from collections import defaultdict
+
+    from geojson_vt_spark.analytics import q_ring_metrics
+    from geojson_vt_spark.config import Options
+    from geojson_vt_spark.functions.convert import convert_geojson
+
+    got = {
+        r.user_id: (r.path_len, r.ring_area)
+        for r in q_ring_metrics(spark, SF).collect()
+    }
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    pts = defaultdict(list)
+    for r in sorted(ev, key=lambda r: r.event_id):
+        lon = (r.value % 360.0) - 180.0
+        lat = (r.value % 170.0) - 85.0
+        pts[r.user_id].append([lon, lat])
+    assert set(got) == set(pts)
+
+    opts = Options(tolerance=0)  # no DP annotation; size math is unaffected
+    for uid, coords in pts.items():
+        line = convert_geojson(
+            {"type": "Feature", "properties": None,
+             "geometry": {"type": "LineString", "coordinates": coords}},
+            opts,
+        )[0]
+        poly = convert_geojson(
+            {"type": "Feature", "properties": None,
+             "geometry": {"type": "Polygon", "coordinates": [coords]}},
+            opts,
+        )[0]
+        want_len = line["rings"][0]["size"]
+        want_area = poly["rings"][0]["size"]
+        assert abs(got[uid][0] - want_len) < 1e-9, uid
+        assert abs(got[uid][1] - want_area) < 1e-9, uid
+
+
+def test_cluster_id_codec_round_trips(spark):
+    """getOriginId/getOriginZoom must invert the encode for every row:
+    origin_id == the encoded index, origin_zoom == zoom + 1
+    (cluster-tile-index.ts:415,461-468)."""
+    from geojson_vt_spark.analytics import q_cluster_id_codec
+
+    rows = q_cluster_id_codec(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.origin_id == r.event_id, r
+        assert r.origin_zoom == (r.event_id % 24) + 1, r
