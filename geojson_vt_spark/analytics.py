@@ -890,35 +890,55 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs) or, with reroute=True, silently runs the r=1
     exact-recall LSH mode instead (n_hashes == n_bands: banding only prunes,
     per-pair miss 2^-16, equality-tested in test_minhash_equals_exact_jaccard).
-    The guard's own cost is one partial-aggregated count over (source) —
-    negligible next to the join it prevents. max_source_docs=None disables.
+
+    The default raise-mode guard is LAZY — a broadcast per-source-count join
+    plus `assert_true` folded into the returned plan, so merely BUILDING the
+    query (entry-contract consumers, plan harnesses) costs nothing and the
+    first real action fails fast inside the scan stage feeding the self-join
+    (a review flagged the old construction-time collect: one full eager scan
+    per call, even when the frame was never evaluated). reroute=True keeps
+    one eager count by necessity: the bucket size decides WHICH plan to
+    build. max_source_docs=None disables the guard entirely.
     """
     docs = docs.select("doc_id", "source", "toks")
     if max_source_docs is not None:
-        biggest = (
-            docs.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n"))
-            .collect()[0][0]
-            or 0
-        )
-        if biggest > max_source_docs:
-            if not reroute:
-                raise ValueError(
-                    f"ngram_jaccard_pairs is the exact all-pairs baseline: the "
-                    f"largest source bucket has {biggest} docs (> "
-                    f"{max_source_docs}), i.e. ~{biggest * (biggest - 1) // 2:,} "
-                    f"candidate pairs in one bucket. Use "
-                    f"training.minhash_lsh_pairs (banded LSH; n_hashes=n_bands "
-                    f"for the r=1 exact-recall mode), or pass reroute=True to "
-                    f"do that automatically, or raise max_source_docs if you "
-                    f"really mean it."
-                )
-            from .training import minhash_lsh_pairs
+        if reroute:
+            biggest = (
+                docs.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n"))
+                .collect()[0][0]
+                or 0
+            )
+            if biggest > max_source_docs:
+                from .training import minhash_lsh_pairs
 
-            return minhash_lsh_pairs(
-                docs, threshold=threshold, n_hashes=16, n_bands=16,
-                bucket_cap=None,
+                return minhash_lsh_pairs(
+                    docs, threshold=threshold, n_hashes=16, n_bands=16,
+                    bucket_cap=None,
+                )
+        else:
+            counts = docs.groupBy("source").agg(
+                F.count(F.lit(1)).alias("_n_src")
+            )
+            guard_msg = F.format_string(
+                "ngram_jaccard_pairs is the exact all-pairs baseline: source "
+                "'%s' holds %s docs (> "
+                f"{max_source_docs}) — use training.minhash_lsh_pairs (banded "
+                "LSH; n_hashes=n_bands for the r=1 exact-recall mode), pass "
+                "reroute=True to do that automatically, or raise "
+                "max_source_docs if you really mean it.",
+                F.col("source"),
+                F.col("_n_src"),
+            )
+            docs = (
+                docs.join(F.broadcast(counts), "source")
+                .where(
+                    F.assert_true(
+                        F.col("_n_src") <= F.lit(max_source_docs), guard_msg
+                    ).isNull()
+                )
+                .drop("_n_src")
             )
     a = docs.alias("a")
     b = docs.alias("b")

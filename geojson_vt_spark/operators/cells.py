@@ -221,33 +221,46 @@ class SphereCells(CellScheme):
     def _lng(x):
         return x * 360.0 - 180.0
 
-    def _row(self, y):
+    # --- lat/lng-degree grid primitives: the ONE source of truth for the
+    # reduced-grid geometry (geo_radius_join keys its covers through these
+    # same methods, so an edit here cannot desynchronize join sides) ---
+    def row_of_lat(self, lat):
+        """Band index of a latitude in degrees."""
         return (
             F.least(
-                F.greatest(
-                    F.floor((self._lat(y) + 90.0) / 180.0 * self.nrows), F.lit(0)
-                ),
+                F.greatest(F.floor((lat + 90.0) / 180.0 * self.nrows), F.lit(0)),
                 F.lit(self.nrows - 1),
             ).cast("long")
         )
 
-    def _ncols(self, row):
+    def ncols_of_row(self, row):
+        """Column count of a band (cos-reduced, never below 1)."""
         lat_mid = (row.cast("double") + 0.5) * (180.0 / self.nrows) - 90.0
         return F.greatest(
             F.lit(1),
             F.ceil(F.cos(lat_mid * (math.pi / 180.0)) * self.max_cols),
         ).cast("long")
 
-    def _col(self, x, ncols):
+    def col_of_lng(self, lng, ncols):
+        """Column index of a longitude in degrees within a band."""
         return (
             F.least(
                 F.greatest(
-                    F.floor((self._lng(x) + 180.0) / 360.0 * ncols.cast("double")),
+                    F.floor((lng + 180.0) / 360.0 * ncols.cast("double")),
                     F.lit(0),
                 ),
                 ncols - 1,
             ).cast("long")
         )
+
+    def _row(self, y):
+        return self.row_of_lat(self._lat(y))
+
+    def _ncols(self, row):
+        return self.ncols_of_row(row)
+
+    def _col(self, x, ncols):
+        return self.col_of_lng(self._lng(x), ncols)
 
     def point_cell(self, x, y) -> Column:
         row = self._row(y)

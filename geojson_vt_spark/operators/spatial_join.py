@@ -140,47 +140,40 @@ def geo_radius_join(
     (operators/cells.py SphereCells geometry): b-points key to one
     (band << 32 | col) cell; each a-point explodes to the cells its ground
     radius can reach — latitude bands within radius/111.195 deg, and per
-    band a longitude span widened by 1/cos(band edge nearest the pole),
-    WRAPPED modulo the band's column count (a query at lng 179 reaches
-    cols at -180; planar schemes get this wrong twice — no wrap, and a
-    fixed ground radius spans ~1/cos(lat) more mercator cells toward the
-    poles, which is exactly the distortion the round-3 verdict flagged).
-    Near the poles cos -> 0 degenerates to "the whole band" — a few dozen
-    cells, still O(1) per query. Refine is the exact haversine in Column
-    math (pure JVM codegen); precision is exact, the cover is a superset
-    by construction, so the join is EXACT — oracle: brute-force haversine.
+    band a longitude span from inverting the haversine law itself:
+
+        hav(dlng) <= (hav(R) - hav(dphi_min)) / (cos(lat_a) * cos_min)
+
+    where dphi_min is the latitude gap from the query to the band interval
+    and cos_min the smallest cos(lat) in the band (its edge nearest a
+    pole). Both substitutions only GROW the right side versus any actual
+    in-radius pair in the band (hav is increasing on [0, pi]; cos(lat_b)
+    >= cos_min), so the resulting dlng bound is a superset cover at EVERY
+    radius — the naive planar widening radius/cos(lat) under-covers once
+    R is a meaningful fraction of Earth (e.g. both points at lat 60 and
+    R ~ 6670 km need dlng = 180 deg; the planar bound gives 120). When
+    the right side reaches 1 the bound degenerates to "the whole band"
+    (columns are few there — still O(1) cells per query). Column spans
+    are WRAPPED modulo the band's column count (a query at lng 179
+    reaches cols at -180; planar mercator schemes get this wrong twice —
+    no wrap, and a fixed ground radius spans ~1/cos(lat) more mercator
+    cells toward the poles, the distortion the round-3 verdict flagged).
+    Refine is the exact haversine in Column math (pure JVM codegen);
+    precision is exact, the cover is a superset by the inequality above,
+    so the join is EXACT — oracle: brute-force haversine.
 
     Scale shape: one equi-join on cell (shuffle both sides on a bounded
     key set), no cartesian; refine only on candidates. Dense-cell skew is
     AQE's skew-join case, same as knn_join."""
-    nrows = 1 << res
-    max_cols = 1 << (res + 1)
-    band_h_deg = 180.0 / nrows
+    from .cells import SphereCells
+
+    # ONE source of truth for the reduced-grid geometry: the same
+    # SphereCells methods key both join sides and every SphereCells-based
+    # join elsewhere (a divergent local copy here was a review finding)
+    grid = SphereCells(res)
+    band_h_deg = 180.0 / grid.nrows
     r_deg = radius_km / _KM_PER_DEG  # latitude degrees per radius
-
-    def _row(lat):
-        return (
-            F.least(
-                F.greatest(F.floor((lat + 90.0) / 180.0 * nrows), F.lit(0)),
-                F.lit(nrows - 1),
-            ).cast("long")
-        )
-
-    def _ncols(row):
-        lat_mid = (row.cast("double") + 0.5) * band_h_deg - 90.0
-        return F.greatest(
-            F.lit(1), F.ceil(F.cos(F.radians(lat_mid)) * max_cols)
-        ).cast("long")
-
-    def _col(lng, ncols):
-        return (
-            F.least(
-                F.greatest(
-                    F.floor((lng + 180.0) / 360.0 * ncols.cast("double")), F.lit(0)
-                ),
-                ncols - 1,
-            ).cast("long")
-        )
+    _row, _ncols, _col = grid.row_of_lat, grid.ncols_of_row, grid.col_of_lng
 
     bx = b.select(
         F.col(b_id),
@@ -195,20 +188,40 @@ def geo_radius_join(
 
     row_lo = _row(F.col("alat") - F.lit(r_deg))
     row_hi = _row(F.col("alat") + F.lit(r_deg))
-    # per candidate band: widen the lng span by the band edge nearest a pole
-    # (the smallest cos in the band bounds the ground->deg stretch there)
+    # hav(R) as a driver-side scalar; R clamped to the half-circumference
+    # (hav is increasing only up to pi — geo_knn_join's final doubling
+    # overshoots it, where the correct cover is "everything")
+    hav_r = min(
+        1.0,
+        math.sin(
+            min(radius_km, math.pi * _EARTH_RADIUS_KM) / (2.0 * _EARTH_RADIUS_KM)
+        )
+        ** 2,
+    )
+
+    # per candidate band: invert the haversine law for the lng span (see
+    # docstring) — hav(dlng) <= (hav(R) - hav(dphi_min)) / (cosq * cos_min)
     def _cells_of_band(r):
         ncols = _ncols(r)
-        edge_lat = F.greatest(
-            F.abs(r.cast("double") * band_h_deg - 90.0),
-            F.abs((r.cast("double") + 1.0) * band_h_deg - 90.0),
-        )
+        lat1 = r.cast("double") * band_h_deg - 90.0  # band south edge
+        lat2 = lat1 + band_h_deg  # band north edge
+        edge_lat = F.greatest(F.abs(lat1), F.abs(lat2))
         cos_min = F.cos(F.radians(F.least(edge_lat, F.lit(89.9999))))
-        dlng = F.lit(radius_km) / (F.lit(_KM_PER_DEG) * cos_min)  # degrees
+        cos_q = F.cos(F.radians(F.col("alat")))
+        dphi_min = F.greatest(
+            F.lit(0.0), lat1 - F.col("alat"), F.col("alat") - lat2
+        )
+        hav_dphi = F.pow(F.sin(F.radians(dphi_min) / 2), 2)
+        hav_dl = (F.lit(hav_r) - hav_dphi) / F.greatest(
+            cos_q * cos_min, F.lit(1e-12)
+        )
+        dlng = F.degrees(
+            F.lit(2.0) * F.asin(F.sqrt(F.greatest(hav_dl, F.lit(0.0))))
+        )
         span = F.ceil(dlng / 360.0 * ncols.cast("double")).cast("long") + 1
         c0 = _col(F.col("alng"), ncols)
         return F.when(
-            span * 2 >= ncols,
+            (hav_dl >= 1.0) | (span * 2 >= ncols),
             F.transform(
                 F.sequence(F.lit(0).cast("long"), ncols - 1),
                 lambda c: F.shiftleft(r, 32) + c,

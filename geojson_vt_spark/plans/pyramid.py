@@ -823,6 +823,39 @@ def _proof_pool():
     return _PROOF_POOL
 
 
+def _submit_spec_proof(frontier, z: int, options: Options, cap: int):
+    """Launch the speculative head-fuse proof under its own cancellable job
+    group. Returns (future, cancel) where cancel() aborts the in-flight
+    Spark job and swallows the cancellation error — so a gate rejection
+    (z0 stops, or a retained stop) costs only cancellation latency instead
+    of serializing a wholly wasted full-frontier vertex-binning job (a
+    review finding: the old drain blocked on .result())."""
+    import uuid
+
+    sc = frontier.sparkSession.sparkContext
+    group = f"pyramid-spec-proof-{uuid.uuid4().hex}"
+
+    def run():
+        # job-group is a thread-local property; the proof pool is a
+        # dedicated thread, so tagging here scopes exactly this job
+        sc.setJobGroup(group, "speculative head-fuse proof", True)
+        try:
+            return _head_fuse_depth(frontier, z, options, cap)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    fut = _proof_pool().submit(run)
+
+    def cancel():
+        sc.cancelJobGroup(group)
+        try:
+            fut.result()
+        except Exception:  # noqa: BLE001 — cancelled job, result unused
+            pass
+
+    return fut, cancel
+
+
 def _ckpt_pool():
     """One background thread for overlapping the subtree materialization with
     the same level's fused pass (two Spark jobs; task slots cap concurrency)."""
@@ -937,7 +970,7 @@ def build_pyramid(
         sub_future = None
         subtree_list = []
         fuse_extra = 0
-        spec_proof = None
+        spec_proof, spec_cancel = None, None
         # ---- speculative head-fuse proof: at the HEAD iteration the fusion
         # gate (no retained stops at z0) almost always passes and the proof
         # is the level's dominant job, so launch it concurrently with the
@@ -953,8 +986,8 @@ def build_pyramid(
             ) > _BROADCAST_TILE_LIMIT:
                 cap_spec -= 1
             if cap_spec:
-                spec_proof = _proof_pool().submit(
-                    _head_fuse_depth, frontier, z, options, cap_spec
+                spec_proof, spec_cancel = _submit_spec_proof(
+                    frontier, z, options, cap_spec
                 )
         # ---- decision stats: pure-JVM counters over the frontier (no
         # Python crossing; the stop rule needs only counts + vertex sums) ----
@@ -1095,7 +1128,8 @@ def build_pyramid(
                     if fuse_extra:
                         t0 = _tick(f"head-fuse proof (+{fuse_extra} levels)", t0)
             if spec_proof is not None:
-                spec_proof.result()  # gate rejected the speculation: drain
+                spec_cancel()  # gate rejected the speculation: abort the job
+                spec_proof = None
         else:
             # ---- distributed decision path (web-scale levels) ----
             if expected is None and expected_keys is not None:

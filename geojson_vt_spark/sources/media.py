@@ -122,9 +122,15 @@ def decode_media(media: DataFrame, frame_stride: int = 5) -> DataFrame:
     # masks + modular arithmetic on the length vector, and a 30-entry LUT for
     # the (bounded) video frame-sample lists. Real codecs will be per-row by
     # nature; the stub must not be (it was the one per-row loop in the repo).
-    frames_lut = [None] + [
-        list(range(0, nf, frame_stride)) for nf in range(1, 31)
-    ]
+    # object-dtype LUT filled entry-by-entry (31 constant iterations): fancy
+    # indexing into it keeps every row's list as an opaque object reference.
+    # Assigning a list-of-lists through a boolean mask is NOT safe — numpy
+    # promotes equal-length inner lists to a 2-D array and the masked
+    # assignment raises (a batch holding one video, or frame_stride >= 30,
+    # makes every list the same length).
+    frames_lut = np.empty(31, dtype=object)
+    for nf in range(1, 31):
+        frames_lut[nf] = list(range(0, nf, frame_stride))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,7 +151,7 @@ def decode_media(media: DataFrame, frame_stride: int = 5) -> DataFrame:
             wh_mask = is_img | is_vid
             sampled = np.full(len(n), None, dtype=object)
             if is_vid.any():
-                sampled[is_vid] = [frames_lut[nf] for nf in n_frames[is_vid]]
+                sampled[is_vid] = frames_lut[n_frames[is_vid]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -81,7 +81,12 @@ def apply_diff_batch(engine, batch_df: DataFrame, strict: bool = False) -> int:
         engine.update_data(json.loads(r.diff))
         if r.seq is not None and (watermark is None or r.seq > watermark):
             watermark = r.seq
-    engine._diff_seq_watermark = watermark
+            # persist per diff, not once after the loop: foreachBatch is
+            # at-least-once, so if a later diff in this batch raises (e.g.
+            # strict-mode ordering violation) the retry must still see the
+            # seqs ALREADY applied to engine state — otherwise the retry
+            # re-applies them with no warning and stream state diverges
+            engine._diff_seq_watermark = watermark
     return len(rows)
 
 

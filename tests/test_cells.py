@@ -339,6 +339,54 @@ def test_geo_radius_join_exact_vs_brute(spark):
     assert (9000, 8000) in got
 
 
+def test_geo_radius_join_large_radius_superset(spark):
+    """Large radii regression (review finding): the per-band longitude span
+    must come from inverting the haversine law, not the planar radius/cos
+    widening — the planar bound under-covers once R is a meaningful
+    fraction of Earth and silently DROPS true pairs. Pinned cases:
+      * (lat 80, lng 0) vs (lat 42.8, lng 101) at R=5600 km — true distance
+        5542.9 km; the planar bound spanned cols 26..66 of 93 while the
+        pair sits at col 72 (the review's numeric repro);
+      * both points at lat 60, R=6680 km — needs dlng 180 deg, planar bound
+        gave 120;
+    plus randomized brute-force parity at 5600/12000/20100 km (the last is
+    past the half-circumference: hav(R) clamps to 1 and every band covers
+    fully — geo_knn_join's final doubling operates there)."""
+    import math
+    import random
+
+    from geojson_vt_spark.operators.spatial_join import geo_radius_join
+
+    rng = random.Random(7)
+    a = [(0, 80.0, 0.0), (1, 60.0, 10.0)] + [
+        (i, rng.uniform(-85, 85), rng.uniform(-180, 180)) for i in range(2, 30)
+    ]
+    b = [(0, 42.8, 101.0), (1, 60.0, -170.0)] + [
+        (i, rng.uniform(-85, 85), rng.uniform(-180, 180)) for i in range(2, 250)
+    ]
+    adf = spark.createDataFrame(a, ["a_id", "lat", "lng"])
+    bdf = spark.createDataFrame(b, ["b_id", "lat", "lng"])
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    assert hav(a[0], b[0]) <= 5600.0  # the pinned counterexample pair
+    assert hav(a[1], b[1]) <= 6680.0  # the same-latitude second-order case
+    for radius in (5600.0, 6680.0, 12000.0, 20100.0):
+        got = {
+            (r.a_id, r.b_id)
+            for r in geo_radius_join(adf, bdf, radius).collect()
+        }
+        brute = {(p[0], q[0]) for p in a for q in b if hav(p, q) <= radius}
+        assert got == brute, (radius, brute - got, got - brute)
+    assert (0, 0) in got and (1, 1) in got
+
+
 @pytest.mark.parametrize("scheme", ["sphere", "hilbert"])
 def test_pip_join_oracle_green_under_scheme(spark, monkeypatch, scheme):
     """The DRIVER oracle row for pip_join stays green with the sphere-aware

@@ -123,8 +123,12 @@ def test_ngram_allpairs_scale_guard(spark):
     rows += [(1000, "web", ["dup", "pair", "a"]), (1001, "web", ["dup", "pair", "a"])]
     docs = spark.createDataFrame(rows, ["doc_id", "source", "toks"])
 
-    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
-        ngram_jaccard_pairs(docs, max_source_docs=10).collect()
+    # the raise-mode guard is LAZY: building the plan runs no job and does
+    # not raise (entry-contract consumers build every query up front) ...
+    guarded = ngram_jaccard_pairs(docs, max_source_docs=10)
+    # ... but the first action fails fast with the pointer to the LSH path
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        guarded.collect()
 
     # reroute runs the r=1 exact-recall LSH mode and finds the planted pair
     got = {
@@ -441,6 +445,71 @@ def test_media_decode_batch_matches_scalar(spark):
             assert (r.width, r.height, r.n_frames) == (w, h, nf)
             assert r.sampled_frames == list(range(0, nf, 5))
             assert r.n_samples is None
+
+
+def test_media_decode_degenerate_batches(spark):
+    """Regression (review finding): a batch whose video rows all produce
+    EQUAL-LENGTH sampled_frames lists used to crash the vectorized kernel —
+    numpy promoted the list-of-lists to a 2-D array and the boolean-mask
+    assignment raised. Two trigger shapes: a batch holding exactly one
+    video row, and frame_stride >= 30 (every list is [0])."""
+    from geojson_vt_spark.sources.media import decode_media, media_from_documents
+
+    # one video row only (doc_id % 3 == 2)
+    solo = spark.createDataFrame([(2, "hello world")], "doc_id long, text string")
+    got = decode_media(media_from_documents(solo)).collect()
+    assert got[0].kind == "video"
+    assert got[0].sampled_frames == list(range(0, got[0].n_frames, 5))
+
+    # frame_stride past the max frame count: every sampled list is [0]
+    docs = spark.createDataFrame(
+        [(2, "aa"), (5, "bbbb"), (8, "cc"), (11, "dddddd")],
+        "doc_id long, text string",
+    )
+    rows = decode_media(media_from_documents(docs), frame_stride=40).collect()
+    assert all(r.sampled_frames == [0] for r in rows)
+
+
+def test_update_stream_watermark_survives_midbatch_failure(spark):
+    """Regression (review finding): the seq watermark must advance AS EACH
+    diff is applied, not once after the loop — foreachBatch is at-least-once,
+    so if a later diff in the batch raises, the retry must still see the
+    seqs already applied to engine state (else it re-applies them silently)."""
+    import json as _json
+
+    import pytest
+
+    from geojson_vt_spark.streaming.update_stream import apply_diff_batch
+
+    class FakeEngine:
+        def __init__(self):
+            self.applied = []
+
+        def update_data(self, diff):
+            if diff.get("boom"):
+                raise RuntimeError("planted mid-batch failure")
+            self.applied.append(diff["tag"])
+
+    eng = FakeEngine()
+    eng._diff_seq_watermark = 5
+    batch = spark.createDataFrame(
+        [
+            (6, _json.dumps({"tag": "six"})),
+            (7, _json.dumps({"tag": "seven", "boom": True})),
+        ],
+        "seq long, diff string",
+    )
+    with pytest.raises(RuntimeError, match="planted"):
+        apply_diff_batch(eng, batch)
+    # seq 6 WAS applied — the watermark must already record it, so the
+    # at-least-once retry of this batch warns instead of double-applying
+    assert eng.applied == ["six"]
+    assert eng._diff_seq_watermark == 6
+    with pytest.warns(UserWarning, match="watermark"):
+        apply_diff_batch(
+            eng,
+            spark.createDataFrame([(6, _json.dumps({"tag": "six"}))], "seq long, diff string"),
+        )
 
 
 def test_streaming_heatmap_matches_batch(spark, tmp_path):
