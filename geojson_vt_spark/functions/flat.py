@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 
 from .feature import (
     LINESTRING,
@@ -190,6 +191,41 @@ def flat_from_cells(coords, rlens, rpoly, rsize, rstart, rend,
         np.asarray(minx, np.float64), np.asarray(miny, np.float64),
         np.asarray(maxx, np.float64), np.asarray(maxy, np.float64),
     )
+
+
+def flat_to_cells_arrow(fl: Flat) -> dict:
+    """flat_to_cells for Spark-bound batches: the six list columns come back
+    as pyarrow-backed pandas arrays built with ListArray.from_arrays over
+    the Flat's existing contiguous buffers — zero per-feature Python view
+    objects (np.split per column was the hottest residual of the fused
+    level kernel once JSON assembly moved to Arrow), and Spark's Arrow
+    serializer consumes the pa.ListArray without re-boxing. Only for frames
+    yielded to Spark; Python consumers use flat_to_cells."""
+    import pyarrow as pa
+
+    V = fl.n_vertices
+    assert 3 * V < 2**31, "batch vertex count overflows int32 list offsets"
+    inter = np.empty(3 * V, np.float64)
+    inter[0::3] = fl.xs
+    inter[1::3] = fl.ys
+    inter[2::3] = fl.ms
+    fvo = fl.feat_voff()
+
+    def la(vals, offs):
+        return pd.arrays.ArrowExtensionArray(
+            pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)), pa.array(vals))
+        )
+
+    return {
+        "coords": la(inter, 3 * fvo),
+        "rlens": la(np.diff(fl.roff).astype(np.int32), fl.foff),
+        "rpoly": la(fl.rpoly, fl.foff),
+        "rsize": la(fl.rsize, fl.foff),
+        "rstart": la(fl.rstart, fl.foff),
+        "rend": la(fl.rend, fl.foff),
+        "ftype": fl.ftype,
+        "minx": fl.minx, "miny": fl.miny, "maxx": fl.maxx, "maxy": fl.maxy,
+    }
 
 
 def flat_to_cells(fl: Flat) -> dict:
@@ -680,37 +716,55 @@ def tile_geometry_json(emit: dict, z_f, x_f, y_f, extent: int) -> dict:
     """Integer transform (transform.ts:67-72) + per-feature JSON geometry.
 
     Returns {feature_index: geom_json_str} for every emitting feature; byte
-    output matches model.tile_feature_to_json on the scalar path."""
-    import json as _json
+    output matches model.tile_feature_to_json on the scalar path.
+
+    The JSON text is assembled entirely in pyarrow C kernels — int64→string
+    cast for the coordinates, elementwise concat for "[x,y]" pairs, and
+    list-aware binary_join for the variable-length ring / feature joins —
+    because per-feature json.dumps was the single hottest line of the fused
+    level kernel (58% of a 250k-feature crossing under cProfile). Byte
+    equality with json.dumps(geom, separators=(",", ":")) is pinned by the
+    batch==scalar parity suite (test_flat.py): plain decimal int rendering
+    and ","/"[","]" punctuation only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     gxs, gys, groff, gfeat = emit["gxs"], emit["gys"], emit["groff"], emit["gfeat"]
     f_tile_type = emit["f_tile_type"]
+    if len(gfeat) == 0:
+        return {}
     # per kept vertex: owning feature
     gcnt = np.diff(groff)
     vfeat = np.repeat(gfeat, gcnt)
     z2 = np.exp2(z_f.astype(np.float64))
     ix = js_round_arr(extent * (gxs * z2[vfeat] - x_f[vfeat]))
     iy = js_round_arr(extent * (gys * z2[vfeat] - y_f[vfeat]))
-    # one bulk tolist (C pass), then per-ring python-list slices — avoids an
-    # np.split per ring, which dominated large batches
-    allpairs = np.stack([ix, iy], axis=1).tolist()
-    go = groff.tolist()
-    out: dict = {}
-    # group rings per feature (gfeat non-decreasing)
-    n_g = len(gfeat)
-    i = 0
-    while i < n_g:
-        f = gfeat[i]
-        k = i
-        while k < n_g and gfeat[k] == f:
-            k += 1
-        if f_tile_type[f] == 1:
-            geom = allpairs[go[i]:go[i + 1]]
-        else:
-            geom = [allpairs[go[r]:go[r + 1]] for r in range(i, k)]
-        out[int(f)] = _json.dumps(geom, separators=(",", ":"))
-        i = k
-    return out
+    # "[x,y]" per kept vertex, then one C-side join per ring segment and one
+    # per feature (ListArray offsets = the existing groff / per-feature ring
+    # counts — no per-ring Python slicing)
+    assert groff[-1] < 2**31, "batch vertex count overflows int32 offsets"
+    xs = pc.cast(pa.array(ix), pa.string())
+    ys = pc.cast(pa.array(iy), pa.string())
+    pairs = pc.binary_join_element_wise("[", xs, ",", ys, "]", "")
+    segs = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(groff, pa.int32()), pairs), ","
+    )
+    seg_wrapped = pc.binary_join_element_wise("[", segs, "]", "")
+    # feature boundaries in segment space (gfeat is non-decreasing)
+    feat_ids, seg_counts = np.unique(gfeat, return_counts=True)
+    foff = np.concatenate(([0], np.cumsum(seg_counts))).astype(np.int32)
+    poly = pc.binary_join_element_wise(
+        "[",
+        pc.binary_join(pa.ListArray.from_arrays(pa.array(foff), seg_wrapped), ","),
+        "]",
+        "",
+    )
+    # tile-type 1 (points): the geometry IS the first segment's pair list —
+    # the scalar path slices go[i]:go[i+1], i.e. exactly seg_wrapped[first]
+    first_seg = seg_wrapped.take(pa.array(foff[:-1]))
+    is_pt = pa.array(f_tile_type[feat_ids] == 1)
+    geoms = pc.if_else(is_pt, first_seg, poly)
+    return dict(zip(feat_ids.tolist(), geoms.to_pylist()))
 
 
 # --------------------------------------------------------------------------

@@ -232,11 +232,12 @@ def _split_children(fl, z, x, y, okeys, ids, tags, options: Options):
 
 
 def _child_rows_pdf(bundle) -> pd.DataFrame:
-    """One child bundle -> FEATURE_SCHEMA pandas batch."""
-    from ..functions.flat import flat_to_cells
+    """One child bundle -> FEATURE_SCHEMA pandas batch (list columns
+    Arrow-backed — this frame only ever flows to the Arrow serializer)."""
+    from ..functions.flat import flat_to_cells_arrow
 
     fly, cz, cx, cy, okey_out, ids_out, tags_out = bundle
-    cells = flat_to_cells(fly)
+    cells = flat_to_cells_arrow(fly)
     return pd.DataFrame({
         "z": cz.astype(np.int32),
         "x": cx.astype(np.int32),
