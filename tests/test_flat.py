@@ -244,3 +244,39 @@ def test_per_feature_bands():
     assert list(src) == exp_src
     for k, (a, b) in enumerate(zip(exp, got)):
         _assert_feature_equal(a, b, f"feat#{k}")
+
+
+def _assert_cells_equal(arrow_cells, plain_cells, n):
+    """Arrow-backed list columns must carry exactly the values of the
+    plain numpy-split twin, feature by feature."""
+    for col in ("coords", "rlens", "rpoly", "rsize", "rstart", "rend"):
+        a_list = [np.asarray(v, dtype=np.float64)
+                  for v in arrow_cells[col].tolist()]
+        p_list = [np.asarray(v, dtype=np.float64) for v in plain_cells[col]]
+        assert len(a_list) == len(p_list) == n, col
+        for i, (av, pv) in enumerate(zip(a_list, p_list)):
+            assert np.array_equal(av, pv, equal_nan=True), f"{col} feat#{i}"
+    for col in ("ftype", "minx", "miny", "maxx", "maxy"):
+        assert np.array_equal(arrow_cells[col], plain_cells[col]), col
+
+
+@pytest.mark.parametrize("name", ["us-states", "dateline", "places"])
+def test_cells_arrow_twin_fixture(name):
+    from geojson_vt_spark.functions.flat import flat_to_cells, flat_to_cells_arrow
+
+    data = json.load(open(os.path.join(FIX, f"{name}.json")))
+    features = convert_geojson(data, Options())
+    fl = flat_from_features(features)
+    _assert_cells_equal(flat_to_cells_arrow(fl), flat_to_cells(fl), fl.n_features)
+
+
+def test_cells_arrow_twin_line_metrics_and_empty():
+    from geojson_vt_spark.functions.flat import flat_to_cells, flat_to_cells_arrow
+
+    data = json.load(open(os.path.join(FIX, "us-states.json")))
+    features = convert_geojson(data, Options(line_metrics=True))
+    fl = flat_from_features(features)
+    _assert_cells_equal(flat_to_cells_arrow(fl), flat_to_cells(fl), fl.n_features)
+    empty = flat_from_features([])
+    ec = flat_to_cells_arrow(empty)
+    assert len(ec["coords"]) == 0 and len(ec["ftype"]) == 0
