@@ -193,6 +193,17 @@ def flat_from_cells(coords, rlens, rpoly, rsize, rstart, rend,
     )
 
 
+def _interleave(fl: Flat):
+    """Stride-3 [x,y,m] coord buffer + per-feature vertex offsets — the one
+    shared encoding both cell builders emit."""
+    V = fl.n_vertices
+    inter = np.empty(3 * V, np.float64)
+    inter[0::3] = fl.xs
+    inter[1::3] = fl.ys
+    inter[2::3] = fl.ms
+    return inter, fl.feat_voff()
+
+
 def flat_to_cells_arrow(fl: Flat) -> dict:
     """flat_to_cells for Spark-bound batches: the six list columns come back
     as pyarrow-backed pandas arrays built with ListArray.from_arrays over
@@ -203,13 +214,16 @@ def flat_to_cells_arrow(fl: Flat) -> dict:
     yielded to Spark; Python consumers use flat_to_cells."""
     import pyarrow as pa
 
-    V = fl.n_vertices
-    assert 3 * V < 2**31, "batch vertex count overflows int32 list offsets"
-    inter = np.empty(3 * V, np.float64)
-    inter[0::3] = fl.xs
-    inter[1::3] = fl.ys
-    inter[2::3] = fl.ms
-    fvo = fl.feat_voff()
+    # int32 ListArray offsets bound BOTH cast quantities: coord offsets
+    # (3 * vertex count) and ring offsets (total ring count — NOT bounded by
+    # vertices: zero-vertex rings are legal). Hard raise, not assert, so
+    # PYTHONOPTIMIZE cannot turn overflow into silent offset wraparound.
+    if 3 * fl.n_vertices >= 2**31 or int(fl.foff[-1]) >= 2**31:
+        raise ValueError(
+            "batch overflows int32 list offsets: "
+            f"{fl.n_vertices} vertices / {int(fl.foff[-1])} rings"
+        )
+    inter, fvo = _interleave(fl)
 
     def la(vals, offs):
         return pd.arrays.ArrowExtensionArray(
@@ -230,12 +244,7 @@ def flat_to_cells_arrow(fl: Flat) -> dict:
 
 def flat_to_cells(fl: Flat) -> dict:
     """Inverse of flat_from_cells: per-feature cells for row materialization."""
-    V = fl.n_vertices
-    inter = np.empty(3 * V, np.float64)
-    inter[0::3] = fl.xs
-    inter[1::3] = fl.ys
-    inter[2::3] = fl.ms
-    fvo = fl.feat_voff()
+    inter, fvo = _interleave(fl)
     rsplit = fl.foff[1:-1]
     return {
         "coords": np.split(inter, 3 * fvo[1:-1]),
@@ -742,7 +751,14 @@ def tile_geometry_json(emit: dict, z_f, x_f, y_f, extent: int) -> dict:
     # "[x,y]" per kept vertex, then one C-side join per ring segment and one
     # per feature (ListArray offsets = the existing groff / per-feature ring
     # counts — no per-ring Python slicing)
-    assert groff[-1] < 2**31, "batch vertex count overflows int32 offsets"
+    # int32 offset bounds: kept-vertex count (ring offsets) AND segment
+    # count (feature offsets — can exceed vertices when empty rings emit).
+    # Hard raise so PYTHONOPTIMIZE cannot strip the guard.
+    if int(groff[-1]) >= 2**31 or len(groff) - 1 >= 2**31:
+        raise ValueError(
+            "batch overflows int32 offsets: "
+            f"{int(groff[-1])} kept vertices / {len(groff) - 1} segments"
+        )
     xs = pc.cast(pa.array(ix), pa.string())
     ys = pc.cast(pa.array(iy), pa.string())
     pairs = pc.binary_join_element_wise("[", xs, ",", ys, "]", "")
@@ -753,17 +769,25 @@ def tile_geometry_json(emit: dict, z_f, x_f, y_f, extent: int) -> dict:
     # feature boundaries in segment space (gfeat is non-decreasing)
     feat_ids, seg_counts = np.unique(gfeat, return_counts=True)
     foff = np.concatenate(([0], np.cumsum(seg_counts))).astype(np.int32)
+    # tile-type 1 (points): the geometry IS the first segment's pair list —
+    # the scalar path slices go[i]:go[i+1], i.e. exactly seg_wrapped[first].
+    # Homogeneous batches (all-point or no-point — the common case: a level
+    # crossing over one corpus) build only the branch they need; pc.if_else
+    # materializes BOTH branches, so mixed batches still pay double.
+    is_pt_np = f_tile_type[feat_ids] == 1
+    if is_pt_np.all():
+        geoms = seg_wrapped.take(pa.array(foff[:-1]))
+        return dict(zip(feat_ids.tolist(), geoms.to_pylist()))
     poly = pc.binary_join_element_wise(
         "[",
         pc.binary_join(pa.ListArray.from_arrays(pa.array(foff), seg_wrapped), ","),
         "]",
         "",
     )
-    # tile-type 1 (points): the geometry IS the first segment's pair list —
-    # the scalar path slices go[i]:go[i+1], i.e. exactly seg_wrapped[first]
+    if not is_pt_np.any():
+        return dict(zip(feat_ids.tolist(), poly.to_pylist()))
     first_seg = seg_wrapped.take(pa.array(foff[:-1]))
-    is_pt = pa.array(f_tile_type[feat_ids] == 1)
-    geoms = pc.if_else(is_pt, first_seg, poly)
+    geoms = pc.if_else(pa.array(is_pt_np), first_seg, poly)
     return dict(zip(feat_ids.tolist(), geoms.to_pylist()))
 
 

@@ -570,6 +570,34 @@ def _subtree_fn(options: Options, target):
         data = {}
         for c in ucols:
             segs = [cols.get(c) for cols, _ in parts]
+            arrow = [
+                s for s in segs if isinstance(s, pd.arrays.ArrowExtensionArray)
+            ]
+            if arrow:
+                # kind=2 list columns arrive pyarrow-backed
+                # (flat_to_cells_arrow); splice them with null runs for the
+                # kind=1/3 rows, then materialize to an object column in ONE
+                # C call. The column cannot stay Arrow-backed: Spark's
+                # applyInPandas serializer runs a per-cell list() converter
+                # on every ArrayType output column and chokes on the pd.NA
+                # an ArrowDtype series yields for nulls (needs None), so
+                # to_numpy — nulls→None, values→np.ndarray — is the fastest
+                # encoding that survives it (no per-feature np.split loop).
+                import pyarrow as pa
+
+                t = arrow[0]._pa_array.type
+                chunks = []
+                for (cols, n), s in zip(parts, segs):
+                    if s is None:
+                        chunks.append(pa.nulls(n, type=t))
+                    elif isinstance(s, pd.arrays.ArrowExtensionArray):
+                        chunks.extend(s._pa_array.chunks)
+                    else:
+                        chunks.append(pa.array(s, type=t))
+                data[c] = pa.chunked_array(chunks, type=t).to_numpy(
+                    zero_copy_only=False
+                )
+                continue
             obj = any(
                 s is None or (isinstance(s, np.ndarray) and s.dtype == object)
                 for s in segs
@@ -586,7 +614,7 @@ def _subtree_fn(options: Options, target):
         return pd.DataFrame(data, columns=ucols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.flat import concat_flats, flat_to_cells, take as _take
+        from ..functions.flat import concat_flats, flat_to_cells_arrow, take as _take
 
         pdf = (
             pdf.sort_values("okey", key=lambda s: s.map(tuple))
@@ -702,19 +730,19 @@ def _subtree_fn(options: Options, target):
                         [np.arange(s, e, dtype=np.int64) for s, e in stop_ranges]
                     )
                     sub = _take(fl, sidx)
-                    cells = flat_to_cells(sub)
+                    cells = flat_to_cells_arrow(sub)
                     frames.append(({
                         "z": z[sidx], "x": x[sidx], "y": y[sidx],
                         "okey": okeys[sidx],
                         "id": ids[sidx],
                         "ftype": cells["ftype"],
                         "tags": tags[sidx],
-                        "coords": _obj_array(cells["coords"]),
-                        "rlens": _obj_array(cells["rlens"]),
-                        "rpoly": _obj_array(cells["rpoly"]),
-                        "rsize": _obj_array(cells["rsize"]),
-                        "rstart": _obj_array(cells["rstart"]),
-                        "rend": _obj_array(cells["rend"]),
+                        "coords": cells["coords"],
+                        "rlens": cells["rlens"],
+                        "rpoly": cells["rpoly"],
+                        "rsize": cells["rsize"],
+                        "rstart": cells["rstart"],
+                        "rend": cells["rend"],
                         "minx": cells["minx"], "miny": cells["miny"],
                         "maxx": cells["maxx"], "maxy": cells["maxy"],
                         "kind": np.full(len(sidx), 2, np.int32),
