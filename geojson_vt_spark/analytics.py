@@ -625,12 +625,18 @@ def _cell_scheme(res: int):
     )
 
     name = os.environ.get("SPARK_GRAFT_CELL_SCHEME", "quadkey")
-    return {
+    schemes = {
         "quadkey": QuadkeyCells,
         "hilbert": HilbertCells,
         "sphere": SphereCells,
         "h3": H3Cells,
-    }[name](res)
+    }
+    if name not in schemes:
+        raise ValueError(
+            f"SPARK_GRAFT_CELL_SCHEME={name!r} is not a cell scheme; "
+            f"valid values: {', '.join(sorted(schemes))}"
+        )
+    return schemes[name](res)
 
 
 def q_pip_join(spark, sf_dir):

@@ -278,18 +278,29 @@ def geo_knn_join(
 
     Certification is radius doubling over `geo_radius_join`: the radius
     cover is a SUPERSET by construction, so any b-point NOT returned at
-    radius R is provably farther than R — an a-point with >= k candidates
-    inside R is settled outright (its kth distance is <= R and nothing
-    unseen can beat it). Unsettled points double R and retry; R reaches the
-    half-circumference (~20016 km, the maximum great-circle distance) in
-    <= 7 doublings from the 200 km default, where every pair is a candidate
-    and everything settles — the loop cannot fail to terminate.
+    radius R is provably farther than R. Ranking uses the ROUND-6 distance
+    (the DuckDB-replayable ordering contract), so settling demands a 1e-6
+    margin: an a-point settles when its kth ranked candidate's rounded
+    distance is <= R - 1e-6 — any unseen point has true distance > R,
+    hence rounded distance > R - 1e-6 (both being multiples of 1e-6 makes
+    the inequality strict), so nothing unseen can tie or displace the
+    emitted top-k even under the rounded ordering. Without the margin a
+    point ~1 mm outside R that rounds onto the kth distance could win the
+    b_id tie-break in the oracle but be absent here. Unsettled points
+    double R and retry; R reaches the half-circumference (~20016 km, the
+    maximum great-circle distance) in <= 7 doublings from the 200 km
+    default, where every pair is a candidate and everything settles — the
+    loop cannot fail to terminate.
 
     Scale shape: each round joins ONLY the unsettled a-points (same
-    settled-bookkeeping as knn_join, broadcast semi/anti joins +
-    localCheckpoint); candidates per round are banded sphere cells, never a
-    cartesian. Ordering contract: (round-6 haversine km, b_id) — DuckDB-
-    replayable, ties deterministic."""
+    settled-bookkeeping as knn_join, broadcast semi/anti joins); each
+    round's ranked candidates are localCheckpoint'ed ONCE, so the banded
+    radius join + window run exactly once per round — settled-id
+    derivation, the emitted rows, and the next round's anti-join all read
+    the checkpoint (without it, evaluating the returned union re-executed
+    every round's join from scratch). Candidates per round are banded
+    sphere cells, never a cartesian. Ordering contract: (round-6 haversine
+    km, b_id) — DuckDB-replayable, ties deterministic."""
     half_circumference = math.pi * _EARTH_RADIUS_KM  # max great-circle dist
     unsettled = a.select(a_id, "lat", "lng")
     results = []
@@ -305,12 +316,13 @@ def geo_knn_join(
         if radius >= half_circumference:
             results.append(ranked.select(a_id, b_id, "dist_km", "rank"))
             break
-        settled_ids = (
-            ranked.groupBy(a_id)
-            .agg(F.count(F.lit(1)).alias("found"))
-            .where(F.col("found") >= k)
-            .select(a_id)
-        )
+        ranked = ranked.localCheckpoint(eager=True)  # <= k rows per a-point
+        # margin settle: rank k exists AND its rounded distance clears the
+        # 1e-6 margin (see docstring); rank ordering is ascending so the
+        # whole top-k clears it too. No groupBy needed.
+        settled_ids = ranked.where(
+            (F.col("rank") == k) & (F.col("dist_km") <= radius - 1e-6)
+        ).select(a_id)
         results.append(
             ranked.join(F.broadcast(settled_ids), a_id, "leftsemi").select(
                 a_id, b_id, "dist_km", "rank"
@@ -414,6 +426,15 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         )
+        covered_all = ring >= n  # ring covers the whole grid: everything settles
+        if covered_all:
+            results.append(ranked.select(a_id, b_id, "rank"))
+            break
+        # checkpoint the tiny top-k ONCE (<= k rows per a-point): settled-id
+        # derivation, the emitted rows, and the next round's anti-join all
+        # read it — without this, evaluating the returned union re-executed
+        # every round's candidate join + window from scratch
+        ranked = ranked.localCheckpoint(eager=True)
         # certification: kth distance must beat the worst-case uncovered cell
         guarantee = (ring * cell_size) ** 2
         per_a = ranked.groupBy(a_id).agg(
@@ -422,10 +443,6 @@ def knn_join(
         settled_ids = per_a.where(
             (F.col("found") >= k) & (F.col("kth") <= F.lit(guarantee))
         ).select(a_id)
-        covered_all = ring >= n  # ring covers the whole grid: everything settles
-        if covered_all:
-            results.append(ranked.select(a_id, b_id, "rank"))
-            break
         results.append(
             ranked.join(F.broadcast(settled_ids), a_id, "leftsemi").select(
                 a_id, b_id, "rank"

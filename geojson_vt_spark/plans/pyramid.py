@@ -859,12 +859,22 @@ def _submit_spec_proof(frontier, z: int, options: Options, cap: int):
     (z0 stops, or a retained stop) costs only cancellation latency instead
     of serializing a wholly wasted full-frontier vertex-binning job (a
     review finding: the old drain blocked on .result())."""
+    import threading
     import uuid
+    from concurrent.futures import TimeoutError as _FutTimeout
 
     sc = frontier.sparkSession.sparkContext
     group = f"pyramid-spec-proof-{uuid.uuid4().hex}"
+    cancelled = threading.Event()
 
     def run():
+        # cancelJobGroup only reaches jobs ALREADY submitted — a cancel that
+        # lands while this thread is still in plan analysis would otherwise
+        # be a no-op and cancel() would block on the full wasted proof job.
+        # The flag closes most of that window; the retry loop in cancel()
+        # closes the rest (a job submitted between flag-check and cancel).
+        if cancelled.is_set():
+            return 0
         # job-group is a thread-local property; the proof pool is a
         # dedicated thread, so tagging here scopes exactly this job
         sc.setJobGroup(group, "speculative head-fuse proof", True)
@@ -876,11 +886,16 @@ def _submit_spec_proof(frontier, z: int, options: Options, cap: int):
     fut = _proof_pool().submit(run)
 
     def cancel():
-        sc.cancelJobGroup(group)
-        try:
-            fut.result()
-        except Exception:  # noqa: BLE001 — cancelled job, result unused
-            pass
+        cancelled.set()
+        while True:
+            sc.cancelJobGroup(group)
+            try:
+                fut.result(timeout=0.25)
+                return
+            except _FutTimeout:
+                continue  # job may have been submitted after the cancel
+            except Exception:  # noqa: BLE001 — cancelled job, result unused
+                return
 
     return fut, cancel
 

@@ -25,10 +25,13 @@ that as a file-source stream of *diff documents* drained through
     update_data, including a maxFilesPerTrigger=1 multi-micro-batch run).
 
 Exactly-once: Spark's file source + checkpointLocation give at-least-once
-per micro-batch with source offsets committed after foreachBatch returns; a
-replayed batch re-applies its diffs. Remove/replace diffs are idempotent;
-`add` of an id-bearing feature is too (same-id replace). Only id-less adds
-are not, which mirrors the reference's own list-append semantics.
+per micro-batch with source offsets committed after foreachBatch returns. A
+replayed batch's seq-bearing diffs are SKIPPED by the watermark check in
+`apply_diff_batch` (the engine persists the highest applied seq per diff),
+which upgrades the sink to effectively-once for seq-carrying producers;
+seq-less diffs fall back to the payload's own idempotence (remove/replace
+and id-bearing adds are idempotent; id-less adds are not, mirroring the
+reference's list-append semantics).
 """
 
 from __future__ import annotations
@@ -55,39 +58,47 @@ def stream_diffs(spark, path: str, max_files_per_trigger: int | None = None) -> 
 
 def apply_diff_batch(engine, batch_df: DataFrame, strict: bool = False) -> int:
     """Apply one micro-batch of diff documents to an engine, in seq order.
-    Returns the number of diffs applied (foreachBatch-friendly).
+    Returns the number of diffs APPLIED (skipped stale seqs not counted).
 
     Seq watermark: the producer contract (module docstring) promises
-    monotone mtimes so micro-batches arrive in seq order; a producer bug
-    that reorders diff files used to pass SILENTLY. The engine now carries
-    the highest seq applied (`_diff_seq_watermark`) and an incoming seq at
-    or below it warns (or raises with strict=True) BEFORE applying —
-    regression detection at runtime, not just in the docs."""
+    monotone mtimes so micro-batches arrive in seq order. The engine
+    carries the highest seq applied (`_diff_seq_watermark`); an incoming
+    seq at or below it is NEVER re-applied — foreachBatch is at-least-once,
+    so a retried micro-batch redelivers seqs the engine already holds, and
+    re-applying a non-idempotent diff (id-less add) would diverge state.
+    Default mode skips the stale diff with a warning and keeps draining
+    (the idempotent-retry behavior a sink needs); strict=True raises
+    INSTEAD of applying — a fail-stop for catching producer reordering
+    bugs, with the documented consequence that a redelivered batch keeps
+    failing until an operator intervenes (strict is a debug/CI mode, not
+    a production retry policy)."""
     import warnings
 
     rows = batch_df.orderBy("seq").collect()  # control-plane small, by design
     watermark = getattr(engine, "_diff_seq_watermark", None)
+    applied = 0
     for r in rows:
         if r.seq is not None and watermark is not None and r.seq <= watermark:
             msg = (
                 f"diff seq {r.seq} arrived at or below the applied watermark "
-                f"{watermark}: the producer broke the monotone-mtime ordering "
-                "contract (or re-emitted a seq) — stream state may diverge "
-                "from sequential batch application"
+                f"{watermark}: micro-batch redelivery (normal under "
+                "at-least-once retries) or a producer that broke the "
+                "monotone-mtime ordering contract — the diff is NOT applied"
             )
             if strict:
                 raise ValueError(msg)
             warnings.warn(msg, stacklevel=2)
+            continue  # skip: the engine already reflects (or supersedes) it
         engine.update_data(json.loads(r.diff))
+        applied += 1
         if r.seq is not None and (watermark is None or r.seq > watermark):
             watermark = r.seq
             # persist per diff, not once after the loop: foreachBatch is
-            # at-least-once, so if a later diff in this batch raises (e.g.
-            # strict-mode ordering violation) the retry must still see the
-            # seqs ALREADY applied to engine state — otherwise the retry
-            # re-applies them with no warning and stream state diverges
+            # at-least-once, so if a later diff in this batch raises the
+            # retry must still see the seqs ALREADY applied to engine
+            # state — the skip above then makes the retry idempotent
             engine._diff_seq_watermark = watermark
-    return len(rows)
+    return applied
 
 
 def run_update_stream(

@@ -1600,9 +1600,14 @@ def q_dedup_cluster_cc(spark, sf_dir):
     exact-recall minhash mode (b=16, r=1: miss 2^-16 per qualifying pair),
     because THIS query's oracle is the exact transitive closure; a corpus
     pipeline would feed CC the banded (r=4) pairs instead — the CC operator
-    is agnostic to how the edge list was generated."""
+    is agnostic to how the edge list was generated. bucket_cap=None is part
+    of the exact-recall contract: in r=1 mode a band bucket keys on a
+    SINGLE minhash value, so common tokens concentrate docs into few
+    buckets and the default cap would silently drop their pairs — breaking
+    the closure oracle on any source past the cap."""
     pairs = minhash_lsh_pairs(
-        _docs_tokens(spark, sf_dir), threshold=0.5, n_hashes=16, n_bands=16
+        _docs_tokens(spark, sf_dir), threshold=0.5, n_hashes=16, n_bands=16,
+        bucket_cap=None,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(pairs)
 
@@ -1612,9 +1617,11 @@ def q_dedup_cluster_cc_star(spark, sf_dir):
     adversarial-diameter mode, O(log n) rounds on ANY graph shape) — output
     is identical to label propagation by construction (both converge to the
     component minimum), so the exact transitive-closure oracle gates this
-    engine too."""
+    engine too. bucket_cap=None for the same exact-recall contract as
+    q_dedup_cluster_cc."""
     pairs = minhash_lsh_pairs(
-        _docs_tokens(spark, sf_dir), threshold=0.5, n_hashes=16, n_bands=16
+        _docs_tokens(spark, sf_dir), threshold=0.5, n_hashes=16, n_bands=16,
+        bucket_cap=None,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(pairs, algorithm="star")
 

@@ -1,10 +1,11 @@
 """spark-submit entry point: raw documents table -> training-ready corpus.
 
 The composed end-to-end training-data pipeline — the reason the corpus
-operators exist as a library: quality gating, language filtering, near-dup
-deduplication, and an optional balanced sample, in the order a real ingest
-runs them (cheap single-scan filters FIRST so the expensive dedup shuffles
-only survivors). Ships like the other jobs:
+operators exist as a library: quality gating, language filtering, exact
+then near-dup deduplication, and an optional balanced sample, in the order
+a real ingest runs them (cheap single-scan filters FIRST so the expensive
+dedup shuffles only survivors, exact dedup BEFORE banding so byte-identical
+mass never hits the LSH join). Ships like the other jobs:
 
     spark-submit --master <cluster> \
         --py-files dist/geojson_vt_spark.zip \
@@ -12,7 +13,7 @@ only survivors). Ships like the other jobs:
         --documents /path/to/documents.parquet \
         --output /path/to/clean-corpus \
         [--langs en,de] [--min-uniq-ratio 0.3] [--min-chars 100] \
-        [--sample-k 0] [--dedup-threshold 0.5]
+        [--sample-k 0] [--dedup-threshold 0.5] [--lsh-bucket-cap 1000]
 
 Input: parquet with (doc_id: bigint, source: string, text: string) at
 minimum. Output: the kept (doc_id, source) corpus parquet (plus rank when
@@ -20,15 +21,23 @@ minimum. Output: the kept (doc_id, source) corpus parquet (plus rank when
 
 100 TB shape: stages 1-2 (quality + language) are pure Column expressions
 folded into ONE corpus scan — no joins, no Python, whole-stage codegen.
-Stage 3 (dedup) runs minhash-LSH banding over the survivors only (one
-band-join shuffle + candidate-only refine), connected components over the
-pair graph, and a broadcast anti-join of the tiny drop-list — the corpus
-is never shuffled. Stage 4 (sampling) is the hash-prefix pre-filtered
-stratified draw (no whole-stratum sorts).
+Stage 3a (exact dedup) is one fingerprint groupBy keeping the min-doc_id
+row per (source, md5(text)) — map-side partial min, so byte-identical
+boilerplate collapses BEFORE the expensive near-dup machinery ever sees
+it; this is also what keeps the LSH hot-bucket cap honest, because the
+mega-buckets the cap would drop are overwhelmingly exact-duplicate
+clusters, which never reach the band join. Stage 3b (near-dup) runs
+minhash-LSH banding over the exact-deduped survivors (one band-join
+shuffle + candidate-only refine; buckets above --lsh-bucket-cap are
+dropped — the documented recall trade for bounded skew), connected
+components over the pair graph, and a broadcast anti-join of the tiny
+drop-list. Stage 4 (sampling) is the hash-prefix pre-filtered stratified
+draw (no whole-stratum sorts).
 
 Prints one PIPELINE_METRICS JSON line: per-stage doc counts (input,
-quality-passed, lang-passed, near-dup pairs, clusters, kept, sampled) and
-wall time — the per-stage lineage a pipeline operator actually monitors.
+quality-passed, lang-passed, exact-kept, near-dup pairs, clusters, kept,
+sampled) and wall time — the per-stage lineage a pipeline operator
+actually monitors.
 """
 
 from __future__ import annotations
@@ -50,6 +59,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                     help="drop docs whose distinct-token ratio is below this")
     ap.add_argument("--dedup-threshold", type=float, default=0.5,
                     help="token-set Jaccard threshold for near-dup pairs")
+    ap.add_argument("--lsh-bucket-cap", type=int, default=1000,
+                    help="drop LSH band buckets larger than this (0 = no "
+                         "cap); bounds hot-key skew at a documented recall "
+                         "cost — exact duplicates are immune (stage 3a)")
     ap.add_argument("--sample-k", type=int, default=0,
                     help="balanced per-source sample size (0 = keep all)")
     return ap.parse_args(argv)
@@ -106,15 +119,36 @@ def main(argv: list[str]) -> None:
     # so the dedup stage reads only survivors — no corpus checkpoint
     survivors = flagged.where(keep_flag)
 
-    # Stage 3: near-dup dedup over survivors only (the expensive stage sees
-    # the smallest possible corpus). Banded minhash candidates + exact
-    # Jaccard refine, CC grouping, broadcast drop-list anti-join.
-    toks = survivors.select(
+    # Stage 3a: exact dedup — ONE fingerprint groupBy keeping the whole
+    # min-doc_id row per (source, md5(text)). min(struct) compares doc_id
+    # first, so the keeper is deterministic, and the partial (map-side) min
+    # means each distinct text crosses the shuffle once per input partition
+    # at most — the right 100 TB shape. Collapsing byte-identical docs here
+    # is what makes the stage-3b bucket cap a recall trade instead of a
+    # correctness hole: mega-duplicate clusters are exact dups and never
+    # reach the band join.
+    exact = (
+        survivors.groupBy("source", F.md5(F.col("text")).alias("_fp"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("_r"))
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            "source",
+            F.col("_r.text").alias("text"),
+        )
+    )
+
+    # Stage 3b: near-dup dedup over the exact-deduped survivors (the
+    # expensive stage sees the smallest possible corpus). Banded minhash
+    # candidates + exact Jaccard refine, CC grouping, broadcast drop-list
+    # anti-join.
+    toks = exact.select(
         "doc_id", "source",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
     pairs = minhash_lsh_pairs(
-        toks, threshold=args.dedup_threshold
+        toks,
+        threshold=args.dedup_threshold,
+        bucket_cap=args.lsh_bucket_cap if args.lsh_bucket_cap > 0 else None,
     ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     clusters = connected_components(
@@ -124,9 +158,13 @@ def main(argv: list[str]) -> None:
     drops = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select(
         "doc_id"
     )
-    kept = survivors.select("doc_id", "source").join(
-        F.broadcast(drops), "doc_id", "left_anti"
-    )
+    # narrow (doc_id, source) checkpoint of the exact keepers: text never
+    # leaves the executors, and the exact-dedup aggregate runs once for the
+    # pair pipeline (above, already checkpointed) and once here — not again
+    # for the final anti-join and the stage count
+    exact_ids = exact.select("doc_id", "source").localCheckpoint(eager=True)
+    n_exact = exact_ids.count()
+    kept = exact_ids.join(F.broadcast(drops), "doc_id", "left_anti")
 
     # Stage 4: optional balanced draw per source stratum.
     if args.sample_k > 0:
@@ -140,6 +178,7 @@ def main(argv: list[str]) -> None:
         "docs_in": n_in,
         "quality_passed": n_quality,
         "lang_passed": n_lang,
+        "exact_kept": n_exact,
         "near_dup_pairs": n_pairs,
         "clusters": n_clusters,
         "docs_out": n_out,

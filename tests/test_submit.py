@@ -311,10 +311,11 @@ def test_dedup_job_rejects_misnamed_input(spark, tmp_path):
 
 def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     """End-to-end composed pipeline: quality gate -> language filter ->
-    near-dup dedup -> output, through a REAL spark-submit. The synthetic
-    corpus plants one doc per drop reason so every stage's count is exactly
-    checkable: 2 too-short docs (quality), 2 French docs (language), 1
-    near-duplicate of doc 0 (dedup keeps the min doc_id)."""
+    exact dedup -> near-dup dedup -> output, through a REAL spark-submit.
+    The synthetic corpus plants one doc per drop reason so every stage's
+    count is exactly checkable: 2 too-short docs (quality), 2 French docs
+    (language), 1 byte-identical copy of doc 1 (exact stage keeps the min
+    doc_id), 1 near-duplicate of doc 0 (LSH dedup keeps the min doc_id)."""
     sys.path.insert(0, REPO)
     from make_pyfiles import build_zip
 
@@ -331,6 +332,9 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     rows.append((103, "web", fr + " plus"))
     # near-dup of doc 0: same tokens + one extra -> Jaccard ~0.98
     rows.append((104, "web", f"the quick {filler(0)} and more here extratok"))
+    # byte-identical copy of doc 1: must fall to the EXACT stage (never
+    # reaches the band join — the mega-cluster immunity the job documents)
+    rows.append((105, "web", f"the quick {filler(1)} and more here"))
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     docs_path = str(tmp_path / "documents.parquet")
     docs.write.parquet(docs_path)
@@ -357,9 +361,10 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     ]
     assert line, proc.stdout[-2000:]
     m = json.loads(line[-1][len("PIPELINE_METRICS "):])
-    assert m["docs_in"] == 35
-    assert m["quality_passed"] == 33  # drops 100, 101
-    assert m["lang_passed"] == 31     # drops 102, 103
+    assert m["docs_in"] == 36
+    assert m["quality_passed"] == 34  # drops 100, 101
+    assert m["lang_passed"] == 32     # drops 102, 103
+    assert m["exact_kept"] == 31      # drops 105 (byte-copy of doc 1)
     assert m["near_dup_pairs"] >= 1   # (0, 104) at least
     assert m["docs_out"] == 30        # drops 104, keeps doc 0
 
