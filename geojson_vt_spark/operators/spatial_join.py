@@ -435,13 +435,18 @@ def knn_join(
         # read it — without this, evaluating the returned union re-executed
         # every round's candidate join + window from scratch
         ranked = ranked.localCheckpoint(eager=True)
-        # certification: kth distance must beat the worst-case uncovered cell
+        # certification: kth distance must beat the worst-case uncovered
+        # cell STRICTLY — an unseen point can sit at exactly the guarantee
+        # distance (grid-aligned data makes float equality real), where the
+        # oracle's (dist, b_id) tie-break could pick it over the kth
+        # candidate; strict < makes a tie impossible (equality cases settle
+        # one ring later)
         guarantee = (ring * cell_size) ** 2
         per_a = ranked.groupBy(a_id).agg(
             F.count(F.lit(1)).alias("found"), F.max("dist").alias("kth")
         )
         settled_ids = per_a.where(
-            (F.col("found") >= k) & (F.col("kth") <= F.lit(guarantee))
+            (F.col("found") >= k) & (F.col("kth") < F.lit(guarantee))
         ).select(a_id)
         results.append(
             ranked.join(F.broadcast(settled_ids), a_id, "leftsemi").select(
