@@ -133,10 +133,19 @@ def test_out_of_order_seq_warns_and_strict_raises(spark):
     assert eng._diff_seq_watermark == 5
 
     stale = spark.createDataFrame([(3, json.dumps(DIFFS[1]))], ["seq", "diff"])
-    with pytest.warns(UserWarning, match="watermark"):
-        apply_diff_batch(eng, stale)
+    before = _state(eng)
+    with pytest.warns(UserWarning, match="NOT applied"):
+        n = apply_diff_batch(eng, stale)
+    # the stale diff (remove f1) must be SKIPPED, not re-applied: foreachBatch
+    # is at-least-once and a redelivered batch re-applying non-idempotent
+    # diffs would diverge stream state from sequential application
+    assert n == 0
+    assert _state(eng) == before
+    assert eng._diff_seq_watermark == 5  # watermark unchanged by stale seqs
 
     eng2 = _initial(spark)
     apply_diff_batch(eng2, b1)
+    before2 = _state(eng2)
     with pytest.raises(ValueError, match="watermark"):
         apply_diff_batch(eng2, stale, strict=True)
+    assert _state(eng2) == before2  # strict raises BEFORE applying anything
