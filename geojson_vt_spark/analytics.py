@@ -874,6 +874,67 @@ FROM documents
 """
 
 
+def repetition_cols(text_col: str = "text") -> dict:
+    """Gopher-style repetition signals as pure Column expressions (the
+    production quality filter family next to quality_cols — repeated
+    boilerplate inside a document is the strongest single pretraining
+    quality signal after length): duplicate-bigram fraction
+    (1 - distinct/total over adjacent token pairs) and top-token frequency
+    ratio (most common token / token count). Both fold into one corpus scan,
+    whole-stage codegen, no Python."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    dup_bigram = F.when(
+        n >= 2,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / (n - 1).cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    top_tok = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / n.cast("double"),
+        9,
+    )
+    return {"dup_bigram_ratio": dup_bigram, "top_token_ratio": top_tok}
+
+
+def q_repetition_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rc = repetition_cols()
+    return d.select(
+        "doc_id",
+        rc["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+        rc["top_token_ratio"].alias("top_token_ratio"),
+    )
+
+
+SQL_REPETITION_SCORE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+SELECT doc_id,
+       CASE WHEN len(s) >= 2 THEN ROUND(
+         1.0 - len(list_distinct(
+                 list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])
+               )) / CAST(len(s) - 1 AS DOUBLE), 9)
+       ELSE 0.0 END AS dup_bigram_ratio,
+       ROUND(list_max(list_transform(list_distinct(s),
+               t2 -> len(list_filter(s, x -> x = t2))))
+             / CAST(len(s) AS DOUBLE), 9) AS top_token_ratio
+FROM t
+"""
+
+
 # Largest per-source bucket the all-pairs baseline may see: 20k docs is
 # ~2*10^8 candidate pairs in one bucket — the outer edge of "exact baseline
 # duty". Anything bigger must go through the banded LSH path.
@@ -1051,6 +1112,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
+    "repetition_score": q_repetition_score,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "ann_cosine_topk": q_ann_cosine_topk,
 }
@@ -1077,6 +1139,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,
+    "repetition_score": SQL_REPETITION_SCORE,
     "ngram_jaccard_dedup": SQL_NGRAM_JACCARD_DEDUP,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
 }

@@ -842,3 +842,29 @@ def test_cluster_id_codec_round_trips(spark):
     for r in rows:
         assert r.origin_id == r.event_id, r
         assert r.origin_zoom == (r.event_id % 24) + 1, r
+
+
+def test_repetition_cols_planted_values(spark):
+    """Gopher-style repetition signals on planted texts: an all-repeat doc,
+    a no-repeat doc, and the single-token guard (no bigrams -> 0.0, not a
+    negative-range sequence)."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.analytics import repetition_cols
+
+    d = spark.createDataFrame(
+        [(1, "a a a a"), (2, "x y z w"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rc = repetition_cols()
+    rows = {
+        r.doc_id: (r.dup, r.top)
+        for r in d.select(
+            "doc_id",
+            rc["dup_bigram_ratio"].alias("dup"),
+            rc["top_token_ratio"].alias("top"),
+        ).collect()
+    }
+    assert rows[1] == (round(1.0 - 1.0 / 3.0, 9), 1.0)  # 3 bigrams, 1 distinct
+    assert rows[2] == (0.0, 0.25)
+    assert rows[3] == (0.0, 1.0)  # single token: guard path
