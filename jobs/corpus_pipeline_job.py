@@ -13,7 +13,8 @@ mass never hits the LSH join). Ships like the other jobs:
         --documents /path/to/documents.parquet \
         --output /path/to/clean-corpus \
         [--langs en,de] [--min-uniq-ratio 0.3] [--min-chars 100] \
-        [--sample-k 0] [--dedup-threshold 0.5] [--lsh-bucket-cap 1000]
+        [--max-dup-bigram-ratio 0.6] [--sample-k 0] \
+        [--dedup-threshold 0.5] [--lsh-bucket-cap 1000]
 
 Input: parquet with (doc_id: bigint, source: string, text: string) at
 minimum. Output: the kept (doc_id, source) corpus parquet (plus rank when
@@ -57,6 +58,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--min-uniq-ratio", type=float, default=0.0,
                     help="drop docs whose distinct-token ratio is below this")
+    ap.add_argument("--max-dup-bigram-ratio", type=float, default=None,
+                    help="drop docs whose duplicate-bigram fraction exceeds "
+                         "this (Gopher-style repetition gate; default off)")
     ap.add_argument("--dedup-threshold", type=float, default=0.5,
                     help="token-set Jaccard threshold for near-dup pairs")
     ap.add_argument("--lsh-bucket-cap", type=int, default=1000,
@@ -101,6 +105,13 @@ def main(argv: list[str]) -> None:
     quality_ok = (F.length("text") >= args.min_chars) & (
         qc["uniq_ratio"] >= args.min_uniq_ratio
     )
+    if args.max_dup_bigram_ratio is not None:
+        # Gopher-style repetition gate — another Column in the SAME scan
+        from geojson_vt_spark.analytics import repetition_cols
+
+        quality_ok = quality_ok & (
+            repetition_cols()["dup_bigram_ratio"] <= args.max_dup_bigram_ratio
+        )
     flagged = docs.select(
         "doc_id",
         "source",

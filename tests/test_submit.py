@@ -313,9 +313,10 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     """End-to-end composed pipeline: quality gate -> language filter ->
     exact dedup -> near-dup dedup -> output, through a REAL spark-submit.
     The synthetic corpus plants one doc per drop reason so every stage's
-    count is exactly checkable: 2 too-short docs (quality), 2 French docs
-    (language), 1 byte-identical copy of doc 1 (exact stage keeps the min
-    doc_id), 1 near-duplicate of doc 0 (LSH dedup keeps the min doc_id)."""
+    count is exactly checkable: 2 too-short docs (quality), 1 boilerplate
+    loop (repetition gate), 2 French docs (language), 1 byte-identical copy
+    of doc 1 (exact stage keeps the min doc_id), 1 near-duplicate of doc 0
+    (LSH dedup keeps the min doc_id)."""
     sys.path.insert(0, REPO)
     from make_pyfiles import build_zip
 
@@ -335,6 +336,9 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     # byte-identical copy of doc 1: must fall to the EXACT stage (never
     # reaches the band join — the mega-cluster immunity the job documents)
     rows.append((105, "web", f"the quick {filler(1)} and more here"))
+    # boilerplate loop: long + English but ~97% duplicate bigrams — must
+    # fall to the repetition gate (--max-dup-bigram-ratio)
+    rows.append((106, "web", "the cat sat " * 30))
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     docs_path = str(tmp_path / "documents.parquet")
     docs.write.parquet(docs_path)
@@ -352,6 +356,7 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
             "--documents", docs_path,
             "--output", out_path,
             "--langs", "en",
+            "--max-dup-bigram-ratio", "0.5",
         ],
         capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
     )
@@ -361,8 +366,8 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     ]
     assert line, proc.stdout[-2000:]
     m = json.loads(line[-1][len("PIPELINE_METRICS "):])
-    assert m["docs_in"] == 36
-    assert m["quality_passed"] == 34  # drops 100, 101
+    assert m["docs_in"] == 37
+    assert m["quality_passed"] == 34  # drops 100, 101 (length), 106 (repetition)
     assert m["lang_passed"] == 32     # drops 102, 103
     assert m["exact_kept"] == 31      # drops 105 (byte-copy of doc 1)
     assert m["near_dup_pairs"] >= 1   # (0, 104) at least
