@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from geojson_vt_spark.analytics import QUERIES
+    from geojson_vt_spark.hygiene import QUERIES as HYGIENE_QUERIES
     from geojson_vt_spark.sources.bucketed import QUERIES as BUCKETED_QUERIES
     from geojson_vt_spark.sources.documents import QUERIES as DOCUMENTS_QUERIES
     from geojson_vt_spark.sources.media import QUERIES as MEDIA_QUERIES
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **QUERIES,
         **TRAINING_QUERIES,
+        **HYGIENE_QUERIES,
         **MEDIA_QUERIES,
         **BUCKETED_QUERIES,
         **DOCUMENTS_QUERIES,
@@ -73,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from geojson_vt_spark.analytics import ORACLES
+    from geojson_vt_spark.hygiene import ORACLES as HYGIENE_ORACLES
     from geojson_vt_spark.sources.bucketed import ORACLES as BUCKETED_ORACLES
     from geojson_vt_spark.sources.documents import ORACLES as DOCUMENTS_ORACLES
     from geojson_vt_spark.sources.media import ORACLES as MEDIA_ORACLES
@@ -81,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **ORACLES,
         **TRAINING_ORACLES,
+        **HYGIENE_ORACLES,
         **MEDIA_ORACLES,
         **BUCKETED_ORACLES,
         **DOCUMENTS_ORACLES,

@@ -1,0 +1,452 @@
+"""Corpus-hygiene operators for the training-data pipeline: test-set
+decontamination, corpus-wide frequent-line removal, PII scrubbing, and
+sequence packing.
+
+These are the standard pre-training data-hygiene passes that sit next to the
+dedup/quality family (`analytics.py`, `training.py`): before a 100 TB corpus
+feeds a training run you (1) strip documents that overlap the evaluation
+sets, (2) drop boilerplate lines that repeat across the corpus, (3) redact
+PII, and (4) pack documents into fixed token-budget training sequences.
+
+Every operator here is pure Column algebra — whole-stage codegen, zero
+Python rows — and every driver query has a full-pipeline DuckDB oracle.
+
+Scale shapes (the 100 TB story, per operator):
+
+* decontaminate — the eval set's shingle table is tiny (eval suites are
+  thousands of docs, not billions); it is DISTINCT-ed and broadcast. The
+  corpus side explodes shingles but only rows that MATCH the broadcast ever
+  reach the (partial-agg) count shuffle, and the hit table that joins back
+  onto the corpus is again broadcast. Net: two corpus scans, zero corpus
+  shuffles.
+* line_dedup — pass 1 computes corpus-wide line frequencies via explode +
+  partial-agg groupBy (the only shuffle, and map-side combine collapses it
+  to ~unique-lines volume); lines above the threshold are aggregated into
+  ONE array row and broadcast; pass 2 rebuilds every document with a
+  `filter` lambda against that array — no corpus shuffle, order preserved
+  positionally.
+* pii_scrub — embarrassingly parallel regexp Column ops; nothing shuffles.
+* sequence_pack — a running-sum window partitioned by source: each source
+  packs independently (one shuffle on source). A single mega-source
+  serializes inside its partition; at corpus scale you pre-split sources
+  into bounded shards upstream (documented, same trade as any
+  order-dependent packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. test-set decontamination
+
+DECONTAM_NGRAM = 8  # shingle width in tokens (13 in GPT-3's filter; the
+# synthetic docs are short, so the driver query uses 8)
+EVAL_MOD = 97  # doc_id % 97 == 0 marks the deterministic "eval suite"
+
+
+def ngram_shingles(text_col, n: int):
+    """All consecutive n-token shingles of a space-tokenized text column,
+    md5-hashed (the join key a 100 TB run would ship, not raw strings)."""
+    toks = F.split(text_col, " ")
+    cnt = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), cnt - n + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    # F.sequence(1, stop) with stop < 1 yields a DESCENDING sequence, not an
+    # empty one — docs shorter than n tokens must produce zero shingles
+    return F.when(cnt >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Flag corpus documents sharing any n-gram shingle with the eval set.
+
+    Returns one row per corpus doc: (doc_id, n_hits = distinct shared
+    shingles, contaminated). The eval shingle table and the per-doc hit
+    counts are both broadcast — the corpus itself never shuffles.
+    """
+    eval_shingles = (
+        eval_docs.select(
+            F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngram_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    )
+    hits = (
+        corpus_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return corpus.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+CONTAM_MOD = 17  # corpus docs with doc_id % 17 == 0 get planted overlap
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus rarely overlaps itself at shingle width 8, so the
+    driver query PLANTS contamination first (the same trick as q_pii_scrub):
+    corpus docs with doc_id % 17 == 0 get the first 8 tokens of eval doc 0
+    appended — shipped to every row as a broadcast one-row cross join, the
+    shape a real leaked-benchmark string has at corpus scale."""
+    d = _docs(spark, sf_dir)
+    evals = d.where(F.col("doc_id") % EVAL_MOD == 0)
+    ev0 = d.where(F.col("doc_id") == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, DECONTAM_NGRAM)
+        ).alias("ev_prefix")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % EVAL_MOD != 0)
+        .crossJoin(F.broadcast(ev0))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % CONTAM_MOD == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("ev_prefix")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return decontaminate(corpus, evals)
+
+
+SQL_DECONTAMINATE = f"""
+WITH ev0 AS (
+  SELECT array_to_string(string_split(text, ' ')[1 : {DECONTAM_NGRAM}], ' ')
+           AS ev_prefix
+  FROM documents WHERE doc_id = 0
+), tok AS (
+  SELECT doc_id,
+         string_split(
+           CASE WHEN doc_id % {EVAL_MOD} <> 0 AND doc_id % {CONTAM_MOD} = 0
+                THEN text || ' ' || ev_prefix ELSE text END, ' ') AS s
+  FROM documents CROSS JOIN ev0
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(s) - {DECONTAM_NGRAM} + 1, 0) + 1),
+           i -> md5(array_to_string(s[i : i + {DECONTAM_NGRAM} - 1], ' '))
+         ) AS shingles
+  FROM tok
+), ev AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id % {EVAL_MOD} = 0
+), corp AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh
+  WHERE doc_id % {EVAL_MOD} <> 0
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM corp c JOIN ev USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. corpus-wide frequent-line removal (RefinedWeb/CCNet-style)
+
+LINE_TOKENS = 10  # the synthetic docs carry no newlines, so "lines" are
+# consecutive 10-token windows — the operator itself takes any line array
+LINE_MAX_COUNT = 3  # lines appearing in > LINE_MAX_COUNT docs are boilerplate
+
+
+def doc_lines(text_col, line_tokens: int = LINE_TOKENS):
+    """Regroup a space-tokenized text column into consecutive fixed-width
+    token windows — the stand-in for newline splitting on corpora whose
+    documents carry real line structure."""
+    toks = F.split(text_col, " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, j * line_tokens + 1, line_tokens)
+        ),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = LINE_TOKENS,
+    max_count: int = LINE_MAX_COUNT,
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document.
+
+    Pass 1: explode lines -> partial-agg count -> lines seen more than
+    `max_count` times collapse into ONE array row (boilerplate sets are
+    tiny relative to the corpus). Pass 2: broadcast that row and rebuild
+    each document with a positional `filter` — order preserved, no corpus
+    shuffle. Returns (doc_id, n_lines, n_kept, kept_text).
+    """
+    lines = docs.select(
+        F.col(id_col), doc_lines(F.col(text_col), line_tokens).alias("lines")
+    )
+    frequent = (
+        lines.select(F.explode("lines").alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_count)
+        .agg(F.collect_set("line").alias("boiler"))
+        .select(
+            F.coalesce("boiler", F.array().cast("array<string>")).alias(
+                "boiler"
+            )
+        )
+    )
+    kept = F.filter(
+        "lines", lambda x: ~F.array_contains(F.col("boiler"), x)
+    )
+    return (
+        lines.crossJoin(F.broadcast(frequent))
+        .select(
+            id_col,
+            F.size("lines").cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.md5(F.concat_ws("\n", kept)).alias("kept_md5"),
+        )
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(_docs(spark, sf_dir))
+
+
+SQL_LINE_DEDUP = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+), dl AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(s) / {LINE_TOKENS}.0) AS INT)),
+           j -> array_to_string(
+                  s[j * {LINE_TOKENS} + 1 : j * {LINE_TOKENS} + {LINE_TOKENS}],
+                  ' ')
+         ) AS lines
+  FROM tok
+), freq AS (
+  SELECT line FROM (SELECT unnest(lines) AS line FROM dl)
+  GROUP BY line HAVING COUNT(*) > {LINE_MAX_COUNT}
+), boiler AS (
+  SELECT COALESCE((SELECT list(line) FROM freq), []) AS bl
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(lines, x -> NOT list_contains(bl, x))) AS BIGINT)
+         AS n_kept,
+       md5(array_to_string(list_filter(lines, x -> NOT list_contains(bl, x)),
+                           chr(10))) AS kept_md5
+FROM dl CROSS JOIN boiler
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. PII scrubbing
+
+# patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_cols(text_col: str = "text") -> dict:
+    """PII-scrub Column expressions: per-doc match counts plus the redacted
+    text. Returned as named Columns so pipelines fold them into one scan
+    (same contract as `analytics.quality_cols`). Redaction order matters:
+    IPs are redacted before phones so `1.2.3.4` can't half-match the phone
+    pattern, and emails before both so the host part survives intact."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)).cast("long"),
+        "n_phones": F.regexp_count(
+            F.regexp_replace(F.regexp_replace(c, PII_EMAIL, ""), PII_IP, ""),
+            F.lit(PII_PHONE),
+        ).cast("long"),
+        "n_ips": F.regexp_count(
+            F.regexp_replace(c, PII_EMAIL, ""), F.lit(PII_IP)
+        ).cast("long"),
+        "redacted": redacted,
+    }
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII, so the driver query PLANTS
+    deterministic PII spans first (email on doc_id%7, phone on doc_id%11,
+    IP on doc_id%13) and then scrubs them — the oracle replays both the
+    planting and the scrub."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0199 now")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" from 10.0.0."), F.col("doc_id") % 256),
+        ).otherwise(F.lit("")),
+    )
+    pc = pii_cols("planted")
+    return d.select("doc_id", planted.alias("planted")).select(
+        "doc_id",
+        pc["n_emails"].alias("n_emails"),
+        pc["n_phones"].alias("n_phones"),
+        pc["n_ips"].alias("n_ips"),
+        F.md5(pc["redacted"]).alias("redacted_md5"),
+    )
+
+
+SQL_PII_SCRUB = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199 now' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.0.0.' || (doc_id % 256) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+         regexp_replace(regexp_replace(t, '{PII_EMAIL}', '', 'g'),
+                        '{PII_IP}', '', 'g'),
+         '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(
+         regexp_replace(t, '{PII_EMAIL}', '', 'g'),
+         '{PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. sequence packing
+
+PACK_BUDGET = 256  # tokens per training sequence in the driver query
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences by
+    concatenation order (the standard pretraining packing: documents are
+    concatenated per source in doc_id order and chunked every `budget`
+    tokens; a document belongs to the bin its first token lands in).
+
+    One shuffle (the window partition on `part_col`); each source packs
+    independently. Returns per-bin rows: (source, bin, n_docs, n_tokens,
+    first_doc, last_doc).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        part_col, id_col, n_tok.alias("n_tokens")
+    ).withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    )
+    return binned.groupBy(part_col, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_pack(_docs(spark, sf_dir))
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens)
+           / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM binned GROUP BY source, bin
+"""
+
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
+    "sequence_pack": q_sequence_pack,
+}
+ORACLES = {
+    "decontaminate": SQL_DECONTAMINATE,
+    "line_dedup": SQL_LINE_DEDUP,
+    "pii_scrub": SQL_PII_SCRUB,
+    "sequence_pack": SQL_SEQUENCE_PACK,
+}

@@ -1,0 +1,232 @@
+"""Corpus-hygiene operators (hygiene.py): oracle parity, planted-value
+behavior, and scale-shape plan gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hygiene_oracles_match_duckdb(spark):
+    from .oracle_harness import run_all
+
+    names = {"decontaminate", "line_dedup", "pii_scrub", "sequence_pack"}
+    res = run_all(spark, SF, names=names)
+    assert set(res) == names
+    bad = {k: v for k, v in res.items() if not v.get("hash_match")}
+    assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    from geojson_vt_spark.hygiene import decontaminate
+
+    evals = _mkdocs(spark, [(100, "a b c d e f g h i j")])
+    corpus = _mkdocs(
+        spark,
+        [
+            # contains eval shingle "a b c d e f g h" verbatim
+            (1, "x y a b c d e f g h z"),
+            # same tokens but one substitution breaks every width-8 shingle
+            (2, "x y a b c d Q f g h z"),
+            # too short to carry any shingle
+            (3, "a b c"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(corpus, evals).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_decontaminate_counts_distinct_shared_shingles(spark):
+    from geojson_vt_spark.hygiene import decontaminate
+
+    evals = _mkdocs(spark, [(100, "a b c d e f g h i")])  # 2 shingles
+    corpus = _mkdocs(spark, [(1, "a b c d e f g h i")])  # shares both
+    [row] = decontaminate(corpus, evals).collect()
+    assert (row.n_hits, row.contaminated) == (2, True)
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """Scale gate: the eval shingle table and the hit table join back as
+    broadcasts — the corpus never shuffles through a SortMergeJoin and no
+    cartesian appears."""
+    from geojson_vt_spark.hygiene import q_decontaminate
+
+    plan = q_decontaminate(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+
+
+def test_line_dedup_removes_only_frequent_lines(spark):
+    from geojson_vt_spark.hygiene import line_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq = [" ".join(f"u{d}_{i}" for i in range(10)) for d in range(6)]
+    # boilerplate line appears in 4 docs (> max_count=3); unique lines once
+    rows = [(d, f"{boiler} {uniq[d]}") for d in range(4)] + [
+        (4, uniq[4]),
+        (5, f"{uniq[5]} {boiler}"),  # 5th occurrence, trailing position
+    ]
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept)
+        for r in line_dedup(_mkdocs(spark, rows)).collect()
+    }
+    for d in range(4):
+        assert got[d] == (2, 1)
+    assert got[4] == (1, 1)
+    assert got[5] == (2, 1)
+
+
+def test_line_dedup_threshold_boundary(spark):
+    """Exactly max_count occurrences survive; max_count+1 is removed."""
+    from geojson_vt_spark.hygiene import line_dedup
+
+    line = " ".join(f"t{i}" for i in range(10))
+    rows = [(d, line) for d in range(3)]  # count == max_count == 3 -> kept
+    got = line_dedup(_mkdocs(spark, rows)).collect()
+    assert all(r.n_kept == 1 for r in got)
+    rows.append((3, line))  # count 4 -> removed everywhere
+    got = line_dedup(_mkdocs(spark, rows)).collect()
+    assert all(r.n_kept == 0 for r in got)
+
+
+def test_line_dedup_preserves_order_of_kept_lines(spark):
+    from geojson_vt_spark.hygiene import line_dedup
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    l1 = " ".join(f"p{i}" for i in range(10))
+    l2 = " ".join(f"q{i}" for i in range(10))
+    rows = [(d, boiler) for d in range(4)] + [(9, f"{l1} {boiler} {l2}")]
+    [row] = [r for r in line_dedup(_mkdocs(spark, rows)).collect() if r.doc_id == 9]
+    assert row.kept_md5 == hashlib.md5(f"{l1}\n{l2}".encode()).hexdigest()
+
+
+def test_line_dedup_plan_no_corpus_shuffle_join(spark):
+    """Scale gate: the rebuild side is a 1-row broadcast nested-loop (the
+    boilerplate array), never a SortMergeJoin or cartesian of the corpus."""
+    from geojson_vt_spark.hygiene import q_line_dedup
+
+    plan = q_line_dedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row boiler array
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+
+
+def test_pii_cols_counts_and_redaction(spark):
+    from geojson_vt_spark.hygiene import pii_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user@site.org and b@x.co call 555-0100 from 10.1.2.3"),
+            (2, "no pii here"),
+            (3, "ip only 192.168.0.1 and 8.8.8.8"),
+        ],
+        ["doc_id", "text"],
+    )
+    pc = pii_cols()
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pc["n_emails"].alias("e"),
+            pc["n_phones"].alias("p"),
+            pc["n_ips"].alias("i"),
+            pc["redacted"].alias("red"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].p, got[1].i) == (2, 1, 1)
+    assert got[1].red == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>"
+    assert (got[2].e, got[2].p, got[2].i) == (0, 0, 0)
+    assert got[2].red == "no pii here"
+    assert (got[3].e, got[3].p, got[3].i) == (0, 0, 2)
+
+
+def test_pii_ip_not_double_counted_as_phone(spark):
+    """The phone pattern must not fire inside an IP octet pair, and an
+    email's numeric local part must not count as phone/IP."""
+    from geojson_vt_spark.hygiene import pii_cols
+
+    df = spark.createDataFrame(
+        [(1, "addr 10.0.0.123 mail 555-0199@host.com")], ["doc_id", "text"]
+    )
+    pc = pii_cols()
+    [r] = df.select(
+        pc["n_emails"].alias("e"), pc["n_phones"].alias("p"), pc["n_ips"].alias("i")
+    ).collect()
+    assert (r.e, r.p, r.i) == (1, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack
+
+
+def test_sequence_pack_bin_math(spark):
+    from geojson_vt_spark.hygiene import sequence_pack
+
+    # per-source doc lengths: 100, 200, 30, 50 tokens with budget 256:
+    # cum-starts 0, 100, 300, 330 -> bins 0, 0, 1, 1
+    def txt(n):
+        return " ".join("w" for _ in range(n))
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, txt(100)),
+            ("s1", 2, txt(200)),
+            ("s1", 3, txt(30)),
+            ("s1", 4, txt(50)),
+            ("s2", 9, txt(10)),
+        ],
+        ["source", "doc_id", "text"],
+    )
+    got = {
+        (r.source, r.bin): (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        for r in sequence_pack(df).collect()
+    }
+    assert got[("s1", 0)] == (2, 300, 1, 2)
+    assert got[("s1", 1)] == (2, 80, 3, 4)
+    assert got[("s2", 0)] == (1, 10, 9, 9)
+
+
+def test_sequence_pack_sources_independent(spark):
+    """A doc in one source never affects another source's bins."""
+    from geojson_vt_spark.hygiene import sequence_pack
+
+    big = " ".join("w" for _ in range(1000))
+    small = "a b"
+    df = spark.createDataFrame(
+        [("s1", 1, big), ("s2", 2, small)], ["source", "doc_id", "text"]
+    )
+    got = {(r.source, r.bin) for r in sequence_pack(df).collect()}
+    assert got == {("s1", 0), ("s2", 0)}
+
+
+def test_sequence_pack_single_window_shuffle(spark):
+    """Scale gate: one Exchange for the source window feeding the partial
+    agg; no join anywhere."""
+    from geojson_vt_spark.hygiene import q_sequence_pack
+
+    plan = q_sequence_pack(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
