@@ -382,6 +382,7 @@ def sequence_pack(
     text_col: str = "text",
     id_col: str = "doc_id",
     part_col: str = "source",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Pack documents into fixed token-budget training sequences by
     concatenation order (the standard pretraining packing: documents are
@@ -391,8 +392,16 @@ def sequence_pack(
     One shuffle (the window partition on `part_col`); each source packs
     independently. Returns per-bin rows: (source, bin, n_docs, n_tokens,
     first_doc, last_doc).
+
+    Pass `n_tokens_col` to pack on a precomputed token count (pipelines
+    that already dropped the text column, e.g. corpus_pipeline_job's
+    narrow keep-list).
     """
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
     w = (
         Window.partitionBy(part_col)
         .orderBy(id_col)

@@ -14,7 +14,8 @@ mass never hits the LSH join). Ships like the other jobs:
         --output /path/to/clean-corpus \
         [--langs en,de] [--min-uniq-ratio 0.3] [--min-chars 100] \
         [--max-dup-bigram-ratio 0.6] [--sample-k 0] \
-        [--dedup-threshold 0.5] [--lsh-bucket-cap 1000]
+        [--dedup-threshold 0.5] [--lsh-bucket-cap 1000] \
+        [--decontam-eval /path/to/eval.parquet] [--pack-budget 2048]
 
 Input: parquet with (doc_id: bigint, source: string, text: string) at
 minimum. Output: the kept (doc_id, source) corpus parquet (plus rank when
@@ -35,10 +36,17 @@ components over the pair graph, and a broadcast anti-join of the tiny
 drop-list. Stage 4 (sampling) is the hash-prefix pre-filtered stratified
 draw (no whole-stratum sorts).
 
+Optional hygiene stages (hygiene.py): --decontam-eval drops docs sharing
+any n-gram shingle with an eval-set parquet (stage 2b — broadcast shingle
+table + broadcast anti-join, zero corpus shuffle); --pack-budget writes
+per-source sequence-packing bin manifests over the kept corpus to
+<output>_packs, packing on a token count carried from the stage-1 scan so
+the text column is never re-read.
+
 Prints one PIPELINE_METRICS JSON line: per-stage doc counts (input,
-quality-passed, lang-passed, exact-kept, near-dup pairs, clusters, kept,
-sampled) and wall time — the per-stage lineage a pipeline operator
-actually monitors.
+quality-passed, lang-passed, decontam-dropped, exact-kept, near-dup pairs,
+clusters, kept, pack bins, sampled) and wall time — the per-stage lineage
+a pipeline operator actually monitors.
 """
 
 from __future__ import annotations
@@ -69,6 +77,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "cost — exact duplicates are immune (stage 3a)")
     ap.add_argument("--sample-k", type=int, default=0,
                     help="balanced per-source sample size (0 = keep all)")
+    ap.add_argument("--decontam-eval", default=None,
+                    help="parquet of eval-set documents (doc_id, text): "
+                         "corpus docs sharing any n-gram shingle with them "
+                         "are dropped (broadcast filter, zero corpus "
+                         "shuffle)")
+    ap.add_argument("--decontam-ngram", type=int, default=8,
+                    help="shingle width in tokens for --decontam-eval")
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="when > 0, also write per-source sequence-packing "
+                         "bin manifests (budget tokens per training "
+                         "sequence) to <output>_packs")
     return ap.parse_args(argv)
 
 
@@ -116,6 +135,7 @@ def main(argv: list[str]) -> None:
         "doc_id",
         "source",
         "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_n_tok"),
         quality_ok.alias("_q_ok"),
         lc["guess"].alias("_lang"),
     )
@@ -130,6 +150,25 @@ def main(argv: list[str]) -> None:
     # so the dedup stage reads only survivors — no corpus checkpoint
     survivors = flagged.where(keep_flag)
 
+    # Stage 2b (optional): test-set decontamination. The contaminated-id
+    # set is tiny (eval suites are small), so the drop is a broadcast
+    # anti-join — the corpus still never shuffles before exact dedup.
+    n_contam = 0
+    if args.decontam_eval:
+        from geojson_vt_spark.hygiene import decontaminate
+
+        evals = spark.read.parquet(args.decontam_eval)
+        contaminated = (
+            decontaminate(survivors, evals, n=args.decontam_ngram)
+            .where("contaminated")
+            .select("doc_id")
+            .localCheckpoint(eager=True)  # ids only; reused by count + join
+        )
+        n_contam = contaminated.count()
+        survivors = survivors.join(
+            F.broadcast(contaminated), "doc_id", "left_anti"
+        )
+
     # Stage 3a: exact dedup — ONE fingerprint groupBy keeping the whole
     # min-doc_id row per (source, md5(text)). min(struct) compares doc_id
     # first, so the keeper is deterministic, and the partial (map-side) min
@@ -140,11 +179,12 @@ def main(argv: list[str]) -> None:
     # reach the band join.
     exact = (
         survivors.groupBy("source", F.md5(F.col("text")).alias("_fp"))
-        .agg(F.min(F.struct("doc_id", "text")).alias("_r"))
+        .agg(F.min(F.struct("doc_id", "text", "_n_tok")).alias("_r"))
         .select(
             F.col("_r.doc_id").alias("doc_id"),
             "source",
             F.col("_r.text").alias("text"),
+            F.col("_r._n_tok").alias("_n_tok"),
         )
     )
 
@@ -169,30 +209,48 @@ def main(argv: list[str]) -> None:
     drops = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select(
         "doc_id"
     )
-    # narrow (doc_id, source) checkpoint of the exact keepers: text never
-    # leaves the executors, and the exact-dedup aggregate runs once for the
-    # pair pipeline (above, already checkpointed) and once here — not again
-    # for the final anti-join and the stage count
-    exact_ids = exact.select("doc_id", "source").localCheckpoint(eager=True)
+    # narrow (doc_id, source, token-count) checkpoint of the exact keepers:
+    # text never leaves the executors, and the exact-dedup aggregate runs
+    # once for the pair pipeline (above, already checkpointed) and once here
+    # — not again for the final anti-join and the stage count
+    exact_ids = exact.select("doc_id", "source", "_n_tok").localCheckpoint(
+        eager=True
+    )
     n_exact = exact_ids.count()
     kept = exact_ids.join(F.broadcast(drops), "doc_id", "left_anti")
 
     # Stage 4: optional balanced draw per source stratum.
     if args.sample_k > 0:
-        out = stratified_sample(kept, k=args.sample_k)
+        out = stratified_sample(kept.drop("_n_tok"), k=args.sample_k)
     else:
-        out = kept
+        out = kept.drop("_n_tok")
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
+
+    # Stage 5 (optional): sequence-packing manifests over the kept corpus —
+    # the per-source token-budget bins a trainer reads to build fixed-length
+    # sequences. Packs on the carried token count (the text column never
+    # re-enters), one window shuffle on source.
+    n_bins = 0
+    if args.pack_budget > 0:
+        from geojson_vt_spark.hygiene import sequence_pack
+
+        packs = sequence_pack(
+            kept, budget=args.pack_budget, n_tokens_col="_n_tok"
+        )
+        packs.write.mode("overwrite").parquet(args.output + "_packs")
+        n_bins = spark.read.parquet(args.output + "_packs").count()
 
     metrics = {
         "docs_in": n_in,
         "quality_passed": n_quality,
         "lang_passed": n_lang,
+        "decontam_dropped": n_contam,
         "exact_kept": n_exact,
         "near_dup_pairs": n_pairs,
         "clusters": n_clusters,
         "docs_out": n_out,
+        "pack_bins": n_bins,
         "sample_k": args.sample_k,
         "sec": round(time.time() - t0, 3),
     }

@@ -314,9 +314,11 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     exact dedup -> near-dup dedup -> output, through a REAL spark-submit.
     The synthetic corpus plants one doc per drop reason so every stage's
     count is exactly checkable: 2 too-short docs (quality), 1 boilerplate
-    loop (repetition gate), 2 French docs (language), 1 byte-identical copy
-    of doc 1 (exact stage keeps the min doc_id), 1 near-duplicate of doc 0
-    (LSH dedup keeps the min doc_id)."""
+    loop (repetition gate), 2 French docs (language), 1 eval-set leak
+    (decontamination), 1 byte-identical copy of doc 1 (exact stage keeps
+    the min doc_id), 1 near-duplicate of doc 0 (LSH dedup keeps the min
+    doc_id). Also exercises --pack-budget: the kept corpus is 30 uniform
+    25-token docs, so 256-token bins split 11/10/9."""
     sys.path.insert(0, REPO)
     from make_pyfiles import build_zip
 
@@ -339,9 +341,19 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     # boilerplate loop: long + English but ~97% duplicate bigrams — must
     # fall to the repetition gate (--max-dup-bigram-ratio)
     rows.append((106, "web", "the cat sat " * 30))
+    # eval-set leak: good English doc carrying 8 consecutive eval tokens —
+    # must fall to the decontamination stage (--decontam-eval)
+    ev_toks = " ".join(f"evaltok{j}" for j in range(8))
+    rows.append((107, "web", f"the quick {filler(31)} {ev_toks} and more here"))
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     docs_path = str(tmp_path / "documents.parquet")
     docs.write.parquet(docs_path)
+
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(9000, ev_toks + " " + " ".join(f"evtail{j}" for j in range(6)))],
+        "doc_id long, text string",
+    ).write.parquet(eval_path)
 
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     out_path = str(tmp_path / "clean-corpus")
@@ -357,6 +369,8 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
             "--output", out_path,
             "--langs", "en",
             "--max-dup-bigram-ratio", "0.5",
+            "--decontam-eval", eval_path,
+            "--pack-budget", "256",
         ],
         capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
     )
@@ -366,12 +380,22 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
     ]
     assert line, proc.stdout[-2000:]
     m = json.loads(line[-1][len("PIPELINE_METRICS "):])
-    assert m["docs_in"] == 37
-    assert m["quality_passed"] == 34  # drops 100, 101 (length), 106 (repetition)
-    assert m["lang_passed"] == 32     # drops 102, 103
+    assert m["docs_in"] == 38
+    assert m["quality_passed"] == 35  # drops 100, 101 (length), 106 (repetition)
+    assert m["lang_passed"] == 33     # drops 102, 103
+    assert m["decontam_dropped"] == 1  # drops 107 (eval leak)
     assert m["exact_kept"] == 31      # drops 105 (byte-copy of doc 1)
     assert m["near_dup_pairs"] >= 1   # (0, 104) at least
     assert m["docs_out"] == 30        # drops 104, keeps doc 0
 
     kept = {r.doc_id for r in spark.read.parquet(out_path).collect()}
     assert kept == set(range(30))
+
+    # packing manifests: 30 kept docs x 25 tokens, budget 256 -> doc k
+    # starts at 25k, so bins hold 11 / 10 / 9 docs
+    assert m["pack_bins"] == 3
+    packs = {
+        r.bin: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(out_path + "_packs").collect()
+    }
+    assert packs == {0: (11, 275), 1: (10, 250), 2: (9, 225)}
