@@ -447,15 +447,155 @@ FROM binned GROUP BY source, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. mixture weighting
+
+MIXTURE_BUDGET = 10_000  # token budget in the driver query
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Rate-based mixture resampling: give each source a token quota
+    `token_budget * weight / sum(weights)` and keep each of its documents
+    with probability quota/available-tokens, decided by a deterministic
+    per-doc hash draw (same doc set every run, every engine, any
+    partitioning). Sources missing from `weights` are dropped.
+
+    This is the shape mixture weighting actually takes at corpus scale —
+    a per-source KEEP RATE applied in one filter scan, not an exact
+    per-source rank (which would sort whole strata; see stratified_sample
+    for the exact-k machinery). Quotas above a source's available tokens
+    can't upsample in one pass; the `epochs` column carries the repeat
+    factor (ceil(quota/available)) a trainer applies instead.
+
+    Returns the per-source audit a mixture run records: (source, n_kept,
+    tokens_kept, rate, epochs). One partial-agg shuffle for the totals;
+    the corpus itself is touched by one broadcast-joined filter scan.
+
+    `weights`: DataFrame (part_col, weight:double).
+    """
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+    per = docs.select(part_col, F.col(id_col), n_tok.alias("n_tok"))
+    totals = per.groupBy(part_col).agg(F.sum("n_tok").alias("toks"))
+    dim = totals.join(F.broadcast(weights), part_col)
+    dim = dim.crossJoin(
+        F.broadcast(dim.agg(F.sum("weight").alias("_wsum")))
+    )
+    quota = F.lit(float(token_budget)) * F.col("weight") / F.col("_wsum")
+    dim = dim.select(
+        part_col,
+        F.least(F.lit(1.0), quota / F.col("toks")).alias("rate"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(quota / F.col("toks")).cast("long"),
+        ).alias("epochs"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    kept = per.join(F.broadcast(dim), part_col).where(
+        u < F.col("rate") * F.lit(4294967296.0)
+    )
+    kept_agg = kept.groupBy(part_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+    )
+    # LEFT join back onto the dim so a source whose every doc lost the draw
+    # still shows in the audit with n_kept = 0 (a mixture run must surface
+    # starved sources, not silently omit them); both sides are source-sized
+    return dim.join(F.broadcast(kept_agg), part_col, "left").select(
+        part_col,
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        F.round(F.col("rate"), 9).alias("rate"),
+        "epochs",
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight rule over the synthetic sources: src0 is
+    heavily upweighted (quota above its available tokens, exercising the
+    epochs path), the rest get weights 1-3 from their numeric suffix."""
+    d = _docs(spark, sf_dir)
+    weights = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(F.col("source") == "src0", F.lit(50.0))
+            .otherwise(
+                (F.substring("source", 4, 8).cast("int") % 3 + 1).cast(
+                    "double"
+                )
+            )
+            .alias("weight"),
+        )
+    )
+    return mixture_sample(d, weights, MIXTURE_BUDGET)
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH per AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), totals AS (
+  SELECT source, SUM(n_tok) AS toks FROM per GROUP BY source
+), w AS (
+  SELECT source,
+         CASE WHEN source = 'src0' THEN 50.0
+              ELSE CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE)
+         END AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+), dim AS (
+  SELECT t.source,
+         LEAST(1.0, {MIXTURE_BUDGET}.0 * weight
+                      / (SELECT SUM(weight) FROM totals JOIN w USING (source))
+                      / toks) AS rate,
+         GREATEST(1, CAST(CEIL({MIXTURE_BUDGET}.0 * weight
+                      / (SELECT SUM(weight) FROM totals JOIN w USING (source))
+                      / toks) AS BIGINT)) AS epochs
+  FROM totals t JOIN w USING (source)
+), kept AS (
+  SELECT p.source, p.n_tok
+  FROM per p JOIN dim d USING (source)
+  WHERE CAST(CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS DOUBLE) < d.rate * 4294967296.0
+), ka AS (
+  SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS tokens_kept
+  FROM kept GROUP BY source
+)
+SELECT d.source,
+       CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(ka.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       ROUND(d.rate, 9) AS rate,
+       d.epochs
+FROM dim d LEFT JOIN ka USING (source)
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "sequence_pack": q_sequence_pack,
+    "mixture_sample": q_mixture_sample,
 }
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "line_dedup": SQL_LINE_DEDUP,
     "pii_scrub": SQL_PII_SCRUB,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
 }

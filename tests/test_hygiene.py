@@ -10,7 +10,13 @@ SF = "/root/testdata/sf0.001"
 def test_hygiene_oracles_match_duckdb(spark):
     from .oracle_harness import run_all
 
-    names = {"decontaminate", "line_dedup", "pii_scrub", "sequence_pack"}
+    names = {
+        "decontaminate",
+        "line_dedup",
+        "pii_scrub",
+        "sequence_pack",
+        "mixture_sample",
+    }
     res = run_all(spark, SF, names=names)
     assert set(res) == names
     bad = {k: v for k, v in res.items() if not v.get("hash_match")}
@@ -230,3 +236,95 @@ def test_sequence_pack_single_window_shuffle(spark):
     plan = q_sequence_pack(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+
+
+def _weights(spark, rows):
+    return spark.createDataFrame(rows, ["source", "weight"])
+
+
+def test_mixture_sample_rates_and_epochs(spark):
+    """Hand-checked quota math: two sources, 100-token budget, weights 3:1
+    -> quotas 75/25. s1 holds 50 tokens (quota 75 -> rate 1, epochs 2);
+    s2 holds 250 tokens (quota 25 -> rate 0.1, epochs 1)."""
+    from geojson_vt_spark.hygiene import mixture_sample
+
+    def txt(n):
+        return " ".join("w" for _ in range(n))
+
+    docs = spark.createDataFrame(
+        [("s1", 1, txt(20)), ("s1", 2, txt(30))]
+        + [("s2", 10 + i, txt(25)) for i in range(10)],
+        ["source", "doc_id", "text"],
+    )
+    got = {
+        r.source: r
+        for r in mixture_sample(
+            docs, _weights(spark, [("s1", 3.0), ("s2", 1.0)]), 100
+        ).collect()
+    }
+    assert (got["s1"].n_kept, got["s1"].tokens_kept) == (2, 50)
+    assert got["s1"].rate == 1.0
+    assert got["s1"].epochs == 2
+    assert got["s2"].epochs == 1
+    assert abs(got["s2"].rate - 0.1) < 1e-9
+    # the hash draw is deterministic: replay it exactly in Python
+    import hashlib
+
+    expect = sum(
+        1
+        for i in range(10)
+        if int(hashlib.md5(str(10 + i).encode()).hexdigest()[:8], 16)
+        < got["s2"].rate * 4294967296.0
+    )
+    assert got["s2"].n_kept == expect
+
+
+def test_mixture_sample_drops_unweighted_sources(spark):
+    from geojson_vt_spark.hygiene import mixture_sample
+
+    docs = spark.createDataFrame(
+        [("s1", 1, "a b c"), ("s9", 2, "d e f")], ["source", "doc_id", "text"]
+    )
+    got = mixture_sample(docs, _weights(spark, [("s1", 1.0)]), 100).collect()
+    assert {r.source for r in got} == {"s1"}
+
+
+def test_mixture_sample_partition_invariant(spark):
+    """The hash draw must give the same doc set regardless of input
+    partitioning (the determinism contract shared with stratified_sample)."""
+    from geojson_vt_spark.hygiene import mixture_sample, q_mixture_sample
+
+    a = q_mixture_sample(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet").repartition(13)
+    w = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(F.col("source") == "src0", F.lit(50.0))
+            .otherwise(
+                (F.substring("source", 4, 8).cast("int") % 3 + 1).cast("double")
+            )
+            .alias("weight"),
+        )
+    )
+    from geojson_vt_spark.hygiene import MIXTURE_BUDGET
+
+    b = mixture_sample(d, w, MIXTURE_BUDGET).collect()
+    key = lambda r: (r.source, r.n_kept, r.tokens_kept, r.rate, r.epochs)  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_mixture_sample_plan_broadcast_only(spark):
+    """Scale gate: the corpus joins only against broadcast dims (rates);
+    no SortMergeJoin, no cartesian beyond the 1-row wsum broadcast."""
+    from geojson_vt_spark.hygiene import q_mixture_sample
+
+    plan = q_mixture_sample(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
