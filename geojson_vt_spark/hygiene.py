@@ -448,7 +448,78 @@ FROM binned GROUP BY source, bin
 
 
 # ---------------------------------------------------------------------------
-# 5. mixture weighting
+# 5. sliding-window document chunking
+
+CHUNK_TOKENS = 64  # window width in tokens
+CHUNK_STRIDE = 48  # window start stride (overlap = width - stride)
+
+
+def doc_chunks(
+    docs: DataFrame,
+    width: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-width token windows (the
+    max-sequence-length chunking a tokenizer-bound consumer applies before
+    embedding or training): window i covers tokens [i*stride+1, i*stride+
+    width], windows start while i*stride < n, the final window clamps at
+    the document end. Returns one row per chunk: (doc_id, chunk_id,
+    n_chunk_tokens, chunk_md5).
+
+    Pure Column explode — embarrassingly parallel, no shuffle, and the
+    chunk count per doc is ceil(n/stride) so output volume is a bounded
+    ~width/stride multiple of the corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.slice(toks, i * stride + 1, width).alias("ctoks"),
+            ),
+        )
+    )
+    return docs.select(F.col(id_col), chunk.alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.ctoks"))).alias("chunk_md5"),
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_chunks(_docs(spark, sf_dir))
+
+
+SQL_DOC_CHUNKS = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(s) / {CHUNK_STRIDE}.0) AS BIGINT)),
+           i -> struct_pack(
+                  cid := i,
+                  ctoks := s[i * {CHUNK_STRIDE} + 1
+                             : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+         )) AS u
+  FROM tok
+)
+SELECT doc_id,
+       CAST(u.cid AS BIGINT) AS chunk_id,
+       CAST(len(u.ctoks) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(u.ctoks, ' ')) AS chunk_md5
+FROM ch
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. mixture weighting
 
 MIXTURE_BUDGET = 10_000  # token budget in the driver query
 
@@ -590,6 +661,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "sequence_pack": q_sequence_pack,
+    "doc_chunks": q_doc_chunks,
     "mixture_sample": q_mixture_sample,
 }
 ORACLES = {
@@ -597,5 +669,6 @@ ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "pii_scrub": SQL_PII_SCRUB,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "doc_chunks": SQL_DOC_CHUNKS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
 }

@@ -15,6 +15,7 @@ def test_hygiene_oracles_match_duckdb(spark):
         "line_dedup",
         "pii_scrub",
         "sequence_pack",
+        "doc_chunks",
         "mixture_sample",
     }
     res = run_all(spark, SF, names=names)
@@ -236,6 +237,47 @@ def test_sequence_pack_single_window_shuffle(spark):
     plan = q_sequence_pack(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks
+
+
+def test_doc_chunks_window_math(spark):
+    """7 tokens, width 4, stride 3 -> chunks [1-4], [4-7], [7] (the final
+    window clamps at the document end)."""
+    from geojson_vt_spark.hygiene import doc_chunks
+    import hashlib
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    got = sorted(
+        (r.chunk_id, r.n_chunk_tokens, r.chunk_md5)
+        for r in doc_chunks(df, width=4, stride=3).collect()
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == [
+        (0, 4, md5("a b c d")),
+        (1, 4, md5("d e f g")),
+        (2, 1, md5("g")),
+    ]
+
+
+def test_doc_chunks_short_doc_single_window(spark):
+    from geojson_vt_spark.hygiene import doc_chunks
+
+    df = spark.createDataFrame([(1, "only three tokens")], ["doc_id", "text"])
+    got = doc_chunks(df).collect()
+    assert len(got) == 1
+    assert (got[0].chunk_id, got[0].n_chunk_tokens) == (0, 3)
+
+
+def test_doc_chunks_no_shuffle_plan(spark):
+    """Scale gate: chunking is a pure explode — no Exchange, no join."""
+    from geojson_vt_spark.hygiene import q_doc_chunks
+
+    plan = q_doc_chunks(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 # ---------------------------------------------------------------------------
