@@ -198,12 +198,16 @@ def doc_lines(text_col, line_tokens: int = LINE_TOKENS):
     )
 
 
+LINE_BOILER_CAP = 1_000_000  # broadcast-safety ceiling on the boiler array
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     line_tokens: int = LINE_TOKENS,
     max_count: int = LINE_MAX_COUNT,
+    boiler_cap: int | None = LINE_BOILER_CAP,
 ) -> DataFrame:
     """Remove corpus-frequent lines from every document.
 
@@ -212,6 +216,15 @@ def line_dedup(
     tiny relative to the corpus). Pass 2: broadcast that row and rebuild
     each document with a positional `filter` — order preserved, no corpus
     shuffle. Returns (doc_id, n_lines, n_kept, kept_text).
+
+    The one-array-row design assumes the frequent-line set fits a
+    broadcast. That holds for boilerplate thresholds on real corpora, but
+    nothing upstream forces it, so a `boiler_cap` guard is folded into the
+    plan (lazy — fails inside the first action, costs nothing to build):
+    if more than `boiler_cap` distinct lines cross the threshold, the job
+    fails loudly instead of silently assembling a multi-GB broadcast —
+    at that point the right plan is an equi-join on line hash (one corpus
+    shuffle), not a bigger driver. Pass boiler_cap=None to disable.
     """
     lines = docs.select(
         F.col(id_col), doc_lines(F.col(text_col), line_tokens).alias("lines")
@@ -228,6 +241,22 @@ def line_dedup(
             )
         )
     )
+    if boiler_cap is not None:
+        # same lazy-guard pattern as ngram_jaccard_pairs: assert_true is
+        # NULL on pass, so the filter keeps the row and survives Catalyst
+        # (a when() with identical branches would be folded away)
+        frequent = frequent.where(
+            F.assert_true(
+                F.size("boiler") <= boiler_cap,
+                F.format_string(
+                    "line_dedup: %%s distinct lines exceed boiler_cap=%d — "
+                    "the one-row broadcast rebuild is the wrong plan at this "
+                    "volume; use an equi-join on line hash or raise the cap."
+                    % boiler_cap,
+                    F.size("boiler"),
+                ),
+            ).isNull()
+        )
     kept = F.filter(
         "lines", lambda x: ~F.array_contains(F.col("boiler"), x)
     )
@@ -560,8 +589,12 @@ def mixture_sample(
     per = docs.select(part_col, F.col(id_col), n_tok.alias("n_tok"))
     totals = per.groupBy(part_col).agg(F.sum("n_tok").alias("toks"))
     dim = totals.join(F.broadcast(weights), part_col)
-    dim = dim.crossJoin(
-        F.broadcast(dim.agg(F.sum("weight").alias("_wsum")))
+    # weight normalizer over the sources present in BOTH corpus and weights:
+    # a global window over the source-sized dim (one tiny all-to-one
+    # exchange) rather than a crossJoin against dim.agg(...), which would
+    # duplicate the corpus-wide totals aggregate in the plan
+    dim = dim.withColumn(
+        "_wsum", F.sum("weight").over(Window.partitionBy())
     )
     quota = F.lit(float(token_budget)) * F.col("weight") / F.col("_wsum")
     dim = dim.select(

@@ -126,6 +126,23 @@ def test_line_dedup_preserves_order_of_kept_lines(spark):
     assert row.kept_md5 == hashlib.md5(f"{l1}\n{l2}".encode()).hexdigest()
 
 
+def test_line_dedup_boiler_cap_guard(spark):
+    """More frequent lines than boiler_cap must fail loudly at action time
+    (the one-row broadcast is the wrong plan at that volume), and the guard
+    must cost nothing at build time."""
+    from geojson_vt_spark.hygiene import line_dedup
+
+    l1 = " ".join(f"a{i}" for i in range(10))
+    l2 = " ".join(f"b{i}" for i in range(10))
+    rows = [(d, f"{l1} {l2}") for d in range(5)]  # both lines 5x frequent
+    df = line_dedup(_mkdocs(spark, rows), boiler_cap=1)  # builds fine
+    with pytest.raises(Exception, match="boiler_cap"):
+        df.collect()
+    # at or under the cap the same corpus runs
+    ok = line_dedup(_mkdocs(spark, rows), boiler_cap=2).collect()
+    assert all(r.n_kept == 0 for r in ok)
+
+
 def test_line_dedup_plan_no_corpus_shuffle_join(spark):
     """Scale gate: the rebuild side is a 1-row broadcast nested-loop (the
     boilerplate array), never a SortMergeJoin or cartesian of the corpus."""
