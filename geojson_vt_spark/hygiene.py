@@ -70,6 +70,37 @@ def ngram_shingles(text_col, n: int):
     )
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """The contaminated subset only: (doc_id, n_hits > 0) for corpus docs
+    sharing at least one n-gram shingle with the eval set — ONE corpus scan
+    (shingle explode) against a broadcast eval shingle table. Pipelines that
+    just need the drop-list use this directly; `decontaminate` adds the
+    all-docs audit frame (a second corpus scan)."""
+    eval_shingles = (
+        eval_docs.select(
+            F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngram_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    )
+    return (
+        corpus_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -83,23 +114,7 @@ def decontaminate(
     shingles, contaminated). The eval shingle table and the per-doc hit
     counts are both broadcast — the corpus itself never shuffles.
     """
-    eval_shingles = (
-        eval_docs.select(
-            F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
-        )
-        .distinct()
-    )
-    corpus_shingles = corpus.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(ngram_shingles(F.col(text_col), n))
-        ).alias("shingle"),
-    )
-    hits = (
-        corpus_shingles.join(F.broadcast(eval_shingles), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    hits = contamination_hits(corpus, eval_docs, text_col, id_col, n)
     return corpus.select(id_col).join(F.broadcast(hits), id_col, "left").select(
         id_col,
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
@@ -249,10 +264,10 @@ def line_dedup(
             F.assert_true(
                 F.size("boiler") <= boiler_cap,
                 F.format_string(
-                    "line_dedup: %%s distinct lines exceed boiler_cap=%d — "
-                    "the one-row broadcast rebuild is the wrong plan at this "
-                    "volume; use an equi-join on line hash or raise the cap."
-                    % boiler_cap,
+                    "line_dedup: %s distinct lines exceed boiler_cap="
+                    f"{boiler_cap} — the one-row broadcast rebuild is the "
+                    "wrong plan at this volume; use an equi-join on line "
+                    "hash or raise the cap.",
                     F.size("boiler"),
                 ),
             ).isNull()
@@ -493,17 +508,23 @@ def doc_chunks(
     """Split each document into overlapping fixed-width token windows (the
     max-sequence-length chunking a tokenizer-bound consumer applies before
     embedding or training): window i covers tokens [i*stride+1, i*stride+
-    width], windows start while i*stride < n, the final window clamps at
-    the document end. Returns one row per chunk: (doc_id, chunk_id,
-    n_chunk_tokens, chunk_md5).
+    width]; the final window clamps at the document end. Windows stop as
+    soon as the previous one reached the end — n_chunks = max(1,
+    ceil((n-width)/stride)+1) — so no chunk is a strict subrange of its
+    predecessor (a plain ceil(n/stride) emits a fully-redundant tail
+    whenever n mod stride <= width-stride). Returns one row per chunk:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_md5).
 
     Pure Column explode — embarrassingly parallel, no shuffle, and the
-    chunk count per doc is ceil(n/stride) so output volume is a bounded
-    ~width/stride multiple of the corpus.
+    chunk count per doc is bounded by a ~width/stride multiple of the
+    corpus.
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - width) / F.lit(float(stride))) + 1).cast("int"),
+    )
     chunk = F.explode(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
@@ -531,7 +552,8 @@ WITH tok AS (
 ), ch AS (
   SELECT doc_id,
          unnest(list_transform(
-           range(0, CAST(ceil(len(s) / {CHUNK_STRIDE}.0) AS BIGINT)),
+           range(0, GREATEST(1, CAST(ceil((len(s) - {CHUNK_TOKENS})
+                                          / {CHUNK_STRIDE}.0) AS BIGINT) + 1)),
            i -> struct_pack(
                   cid := i,
                   ctoks := s[i * {CHUNK_STRIDE} + 1
@@ -627,13 +649,14 @@ def mixture_sample(
     )
 
 
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weight rule over the synthetic sources: src0 is
-    heavily upweighted (quota above its available tokens, exercising the
-    epochs path), the rest get weights 1-3 from their numeric suffix."""
-    d = _docs(spark, sf_dir)
-    weights = (
-        d.select("source")
+def default_mixture_weights(docs: DataFrame) -> DataFrame:
+    """The driver query's deterministic weight rule (shared with tests so
+    the rule lives in exactly one Python place, mirrored in
+    SQL_MIXTURE_SAMPLE): src0 is heavily upweighted (quota above its
+    available tokens, exercising the epochs path), the rest get weights
+    1-3 from their numeric suffix."""
+    return (
+        docs.select("source")
         .distinct()
         .select(
             "source",
@@ -646,7 +669,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight"),
         )
     )
-    return mixture_sample(d, weights, MIXTURE_BUDGET)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return mixture_sample(d, default_mixture_weights(d), MIXTURE_BUDGET)
 
 
 SQL_MIXTURE_SAMPLE = f"""

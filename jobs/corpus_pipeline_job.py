@@ -155,12 +155,15 @@ def main(argv: list[str]) -> None:
     # anti-join — the corpus still never shuffles before exact dedup.
     n_contam = 0
     if args.decontam_eval:
-        from geojson_vt_spark.hygiene import decontaminate
+        # contamination_hits, not decontaminate: the audit variant would
+        # left-join the hit table back onto a SECOND full corpus scan just
+        # for .where('contaminated') to filter it straight back down to the
+        # hit set — the drop-list is the hits aggregate itself
+        from geojson_vt_spark.hygiene import contamination_hits
 
         evals = spark.read.parquet(args.decontam_eval)
         contaminated = (
-            decontaminate(survivors, evals, n=args.decontam_ngram)
-            .where("contaminated")
+            contamination_hits(survivors, evals, n=args.decontam_ngram)
             .select("doc_id")
             .localCheckpoint(eager=True)  # ids only; reused by count + join
         )
@@ -227,16 +230,25 @@ def main(argv: list[str]) -> None:
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
 
-    # Stage 5 (optional): sequence-packing manifests over the kept corpus —
-    # the per-source token-budget bins a trainer reads to build fixed-length
-    # sequences. Packs on the carried token count (the text column never
-    # re-enters), one window shuffle on source.
+    # Stage 5 (optional): sequence-packing manifests over the WRITTEN
+    # corpus — when --sample-k filtered it, the manifests must describe the
+    # sampled doc set, not the pre-sample keep-list (a trainer reads
+    # <output> + <output>_packs together). The token counts join back from
+    # the narrow exact_ids checkpoint (equi-join, sampled side smaller);
+    # the text column never re-enters.
     n_bins = 0
     if args.pack_budget > 0:
         from geojson_vt_spark.hygiene import sequence_pack
 
+        pack_src = (
+            kept
+            if args.sample_k <= 0
+            else out.select("doc_id", "source").join(
+                exact_ids, ["doc_id", "source"]
+            )
+        )
         packs = sequence_pack(
-            kept, budget=args.pack_budget, n_tokens_col="_n_tok"
+            pack_src, budget=args.pack_budget, n_tokens_col="_n_tok"
         )
         packs.write.mode("overwrite").parquet(args.output + "_packs")
         n_bins = spark.read.parquet(args.output + "_packs").count()

@@ -261,8 +261,8 @@ def test_sequence_pack_single_window_shuffle(spark):
 
 
 def test_doc_chunks_window_math(spark):
-    """7 tokens, width 4, stride 3 -> chunks [1-4], [4-7], [7] (the final
-    window clamps at the document end)."""
+    """7 tokens, width 4, stride 3 -> chunks [1-4], [4-7]: window 1 reaches
+    the document end, so no redundant tail window starts after it."""
     from geojson_vt_spark.hygiene import doc_chunks
     import hashlib
 
@@ -275,8 +275,34 @@ def test_doc_chunks_window_math(spark):
     assert got == [
         (0, 4, md5("a b c d")),
         (1, 4, md5("d e f g")),
-        (2, 1, md5("g")),
     ]
+
+
+def test_doc_chunks_cover_without_redundant_tail(spark):
+    """Every token is covered and no chunk is a subrange of its
+    predecessor, across lengths straddling the width/stride boundaries."""
+    from geojson_vt_spark.hygiene import doc_chunks
+
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in
+            (1, 47, 48, 49, 63, 64, 65, 96, 97, 100, 112, 113)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = doc_chunks(df).collect()  # width 64, stride 48
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, _ in rows:
+        cs = sorted(by_doc[n], key=lambda r: r.chunk_id)
+        # coverage: last window start + its length reaches n
+        last = cs[-1]
+        assert last.chunk_id * 48 + last.n_chunk_tokens == n
+        # no redundant tail: every window after the first starts before
+        # the previous window's end
+        for prev, cur in zip(cs, cs[1:]):
+            assert cur.chunk_id * 48 < prev.chunk_id * 48 + prev.n_chunk_tokens
+            # and contributes at least one new token
+            assert cur.chunk_id * 48 + cur.n_chunk_tokens > (
+                prev.chunk_id * 48 + prev.n_chunk_tokens
+            )
 
 
 def test_doc_chunks_short_doc_single_window(spark):
@@ -357,23 +383,11 @@ def test_mixture_sample_partition_invariant(spark):
     partitioning (the determinism contract shared with stratified_sample)."""
     from geojson_vt_spark.hygiene import mixture_sample, q_mixture_sample
 
+    from geojson_vt_spark.hygiene import MIXTURE_BUDGET, default_mixture_weights
+
     a = q_mixture_sample(spark, SF).collect()
     d = spark.read.parquet(f"{SF}/documents.parquet").repartition(13)
-    w = (
-        d.select("source")
-        .distinct()
-        .select(
-            "source",
-            F.when(F.col("source") == "src0", F.lit(50.0))
-            .otherwise(
-                (F.substring("source", 4, 8).cast("int") % 3 + 1).cast("double")
-            )
-            .alias("weight"),
-        )
-    )
-    from geojson_vt_spark.hygiene import MIXTURE_BUDGET
-
-    b = mixture_sample(d, w, MIXTURE_BUDGET).collect()
+    b = mixture_sample(d, default_mixture_weights(d), MIXTURE_BUDGET).collect()
     key = lambda r: (r.source, r.n_kept, r.tokens_kept, r.rate, r.epochs)  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
 

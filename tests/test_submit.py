@@ -399,3 +399,63 @@ def test_spark_submit_corpus_pipeline_job(spark, tmp_path):
         for r in spark.read.parquet(out_path + "_packs").collect()
     }
     assert packs == {0: (11, 275), 1: (10, 250), 2: (9, 225)}
+
+
+def test_spark_submit_pipeline_sample_plus_pack(spark, tmp_path):
+    """--sample-k combined with --pack-budget: the packing manifests must
+    describe the SAMPLED output set (what a trainer actually reads), not
+    the pre-sample keep-list."""
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+
+    # 6 docs per source, 10 unique tokens each (no near-dups, no exact dups)
+    rows = [
+        (s * 100 + i, f"src{s}", " ".join(f"d{s}_{i}w{j}" for j in range(10)))
+        for s in range(2)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs_path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(docs_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_path = str(tmp_path / "sampled-corpus")
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+            "--documents", docs_path,
+            "--output", out_path,
+            "--min-chars", "10",
+            "--sample-k", "3",
+            "--pack-budget", "15",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    line = [
+        l for l in proc.stdout.splitlines() if l.startswith("PIPELINE_METRICS ")
+    ]
+    m = json.loads(line[-1][len("PIPELINE_METRICS "):])
+    assert m["docs_out"] == 6  # 3 sampled per source
+
+    sampled = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert len(sampled) == 6
+    packs = spark.read.parquet(out_path + "_packs").collect()
+    # 3 sampled docs x 10 tokens per source, budget 15 -> starts 0/10/20 ->
+    # two bins per source holding 2 then 1 docs
+    assert m["pack_bins"] == 4
+    per_src = {}
+    for r in packs:
+        per_src.setdefault(r.source, {})[r.bin] = (r.n_docs, r.n_tokens)
+        # manifests reference only documents present in the written output
+        assert r.first_doc in sampled and r.last_doc in sampled
+    for s in ("src0", "src1"):
+        assert per_src[s] == {0: (2, 20), 1: (1, 10)}
+    assert sum(r.n_docs for r in packs) == 6
