@@ -213,7 +213,7 @@ def doc_lines(text_col, line_tokens: int = LINE_TOKENS):
     )
 
 
-LINE_BOILER_CAP = 1_000_000  # broadcast-safety ceiling on the boiler array
+LINE_BOILER_CAP = 4_096  # ceiling for the broadcast-array rebuild engine
 
 
 def line_dedup(
@@ -222,39 +222,73 @@ def line_dedup(
     id_col: str = "doc_id",
     line_tokens: int = LINE_TOKENS,
     max_count: int = LINE_MAX_COUNT,
+    engine: str = "auto",
     boiler_cap: int | None = LINE_BOILER_CAP,
 ) -> DataFrame:
-    """Remove corpus-frequent lines from every document.
+    """Remove corpus-frequent lines from every document. Returns
+    (doc_id, n_lines, n_kept, kept_md5); kept_md5 hashes the surviving
+    lines joined in document order.
 
-    Pass 1: explode lines -> partial-agg count -> lines seen more than
-    `max_count` times collapse into ONE array row (boilerplate sets are
-    tiny relative to the corpus). Pass 2: broadcast that row and rebuild
-    each document with a positional `filter` — order preserved, no corpus
-    shuffle. Returns (doc_id, n_lines, n_kept, kept_text).
+    Two rebuild engines (equality-tested), because the right plan depends
+    on how big the frequent-line set is:
 
-    The one-array-row design assumes the frequent-line set fits a
-    broadcast. That holds for boilerplate thresholds on real corpora, but
-    nothing upstream forces it, so a `boiler_cap` guard is folded into the
-    plan (lazy — fails inside the first action, costs nothing to build):
-    if more than `boiler_cap` distinct lines cross the threshold, the job
-    fails loudly instead of silently assembling a multi-GB broadcast —
-    at that point the right plan is an equi-join on line hash (one corpus
-    shuffle), not a bigger driver. Pass boiler_cap=None to disable.
+    * 'array' — frequent lines collapse into ONE array row, broadcast, and
+      every document rebuilds with a positional `filter` lambda: zero
+      corpus shuffle, but the lambda's array_contains is a LINEAR scan of
+      the boiler array per line, so cost is O(lines x |boiler|) — only
+      right when boilerplate is genuinely tiny (hundreds). A lazy
+      assert_true guard fails the job past `boiler_cap` rather than let
+      that quadratic term run away (measured: a 16x-duplicated 80k-doc
+      corpus put ~25k lines over threshold and the array engine took 300+ s
+      where the join engine takes seconds).
+    * 'join' — posexplode lines, mark frequent ones with an equi-join
+      (AQE picks broadcast vs shuffle by the freq table's real size), and
+      reassemble each document with ONE groupBy(doc_id): order restored by
+      sorting the collected (pos, line) structs. One corpus shuffle,
+      hash-lookup cost per line — the 100 TB shape.
+    * 'auto' — count the frequent lines (one tiny aggregate job) and pick
+      'array' iff the set fits `boiler_cap`.
     """
     lines = docs.select(
         F.col(id_col), doc_lines(F.col(text_col), line_tokens).alias("lines")
     )
-    frequent = (
+    freq = (
         lines.select(F.explode("lines").alias("line"))
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > max_count)
-        .agg(F.collect_set("line").alias("boiler"))
-        .select(
-            F.coalesce("boiler", F.array().cast("array<string>")).alias(
-                "boiler"
-            )
+        .select("line")
+    )
+    if engine == "auto":
+        cap = boiler_cap if boiler_cap is not None else 0
+        engine = "array" if freq.count() <= cap else "join"
+
+    if engine == "join":
+        ex = lines.select(
+            F.col(id_col),
+            F.size("lines").alias("n_lines"),
+            F.posexplode("lines").alias("pos", "line"),
         )
+        marked = ex.join(
+            freq.withColumn("_boiler", F.lit(True)), "line", "left"
+        )
+        ordered = F.array_sort(
+            F.collect_list(F.struct("pos", "line", "_boiler"))
+        )
+        kept_lines = F.transform(
+            F.filter(ordered, lambda s: ~F.coalesce(s["_boiler"], F.lit(False))),
+            lambda s: s["line"],
+        )
+        return marked.groupBy(id_col).agg(
+            F.first("n_lines").cast("long").alias("n_lines"),
+            F.size(kept_lines).cast("long").alias("n_kept"),
+            F.md5(F.concat_ws("\n", kept_lines)).alias("kept_md5"),
+        )
+
+    if engine != "array":
+        raise ValueError(f"line_dedup: unknown engine {engine!r}")
+    frequent = freq.agg(F.collect_set("line").alias("boiler")).select(
+        F.coalesce("boiler", F.array().cast("array<string>")).alias("boiler")
     )
     if boiler_cap is not None:
         # same lazy-guard pattern as ngram_jaccard_pairs: assert_true is
@@ -265,9 +299,8 @@ def line_dedup(
                 F.size("boiler") <= boiler_cap,
                 F.format_string(
                     "line_dedup: %s distinct lines exceed boiler_cap="
-                    f"{boiler_cap} — the one-row broadcast rebuild is the "
-                    "wrong plan at this volume; use an equi-join on line "
-                    "hash or raise the cap.",
+                    f"{boiler_cap} — the broadcast-array rebuild is the "
+                    "wrong plan at this volume; use engine='join'.",
                     F.size("boiler"),
                 ),
             ).isNull()
@@ -287,7 +320,12 @@ def line_dedup(
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return line_dedup(_docs(spark, sf_dir))
+    # engine pinned: 'auto' would run its engine-picking count job at
+    # query-BUILD time (the construction-time-scan anti-pattern a round-3
+    # review removed from ngram_jaccard_pairs), and the synthetic corpus's
+    # boiler set is tiny, which is exactly the array engine's case. The
+    # join engine is equality-tested against it in test_hygiene.py.
+    return line_dedup(_docs(spark, sf_dir), engine="array")
 
 
 SQL_LINE_DEDUP = f"""

@@ -127,20 +127,53 @@ def test_line_dedup_preserves_order_of_kept_lines(spark):
 
 
 def test_line_dedup_boiler_cap_guard(spark):
-    """More frequent lines than boiler_cap must fail loudly at action time
-    (the one-row broadcast is the wrong plan at that volume), and the guard
-    must cost nothing at build time."""
+    """More frequent lines than boiler_cap must fail the array engine
+    loudly at action time (its per-line rebuild cost is linear in the
+    boiler size), and the guard must cost nothing at build time."""
     from geojson_vt_spark.hygiene import line_dedup
 
     l1 = " ".join(f"a{i}" for i in range(10))
     l2 = " ".join(f"b{i}" for i in range(10))
     rows = [(d, f"{l1} {l2}") for d in range(5)]  # both lines 5x frequent
-    df = line_dedup(_mkdocs(spark, rows), boiler_cap=1)  # builds fine
+    df = line_dedup(_mkdocs(spark, rows), engine="array", boiler_cap=1)
     with pytest.raises(Exception, match="boiler_cap"):
         df.collect()
     # at or under the cap the same corpus runs
-    ok = line_dedup(_mkdocs(spark, rows), boiler_cap=2).collect()
+    ok = line_dedup(_mkdocs(spark, rows), engine="array", boiler_cap=2).collect()
     assert all(r.n_kept == 0 for r in ok)
+
+
+def test_line_dedup_engines_equal(spark):
+    """The join engine (the 100 TB shape) must produce row-identical output
+    to the broadcast-array engine, including on an adversarial corpus where
+    EVERY line is over threshold and on mixed kept/dropped ordering; 'auto'
+    must pick join exactly when the boiler set exceeds the cap."""
+    from geojson_vt_spark.hygiene import line_dedup
+
+    boiler = [" ".join(f"b{k}_{i}" for i in range(10)) for k in range(6)]
+    uniq = [" ".join(f"u{d}_{i}" for i in range(10)) for d in range(8)]
+    rows = [
+        (d, f"{boiler[d % 6]} {uniq[d]} {boiler[(d + 1) % 6]}")
+        for d in range(8)
+    ] + [(100 + d, boiler[d % 6]) for d in range(24)]  # every boiler 5x+
+    docs = _mkdocs(spark, rows)
+    key = lambda r: (r.doc_id, r.n_lines, r.n_kept, r.kept_md5)  # noqa: E731
+    arr = sorted(map(key, line_dedup(docs, engine="array").collect()))
+    join = sorted(map(key, line_dedup(docs, engine="join").collect()))
+    assert arr == join
+    # auto picks join here (6 frequent lines > cap 2) — same rows again
+    auto = sorted(map(key, line_dedup(docs, boiler_cap=2).collect()))
+    assert auto == join
+    # fully-boilerplate corpus: every doc survives as an empty rebuild
+    all_boiler = _mkdocs(spark, [(d, boiler[0]) for d in range(5)])
+    got = line_dedup(all_boiler, engine="join").collect()
+    import hashlib
+
+    assert all(
+        (r.n_lines, r.n_kept, r.kept_md5)
+        == (1, 0, hashlib.md5(b"").hexdigest())
+        for r in got
+    )
 
 
 def test_line_dedup_plan_no_corpus_shuffle_join(spark):
