@@ -54,20 +54,30 @@ DECONTAM_NGRAM = 8  # shingle width in tokens (13 in GPT-3's filter; the
 EVAL_MOD = 97  # doc_id % 97 == 0 marks the deterministic "eval suite"
 
 
-def ngram_shingles(text_col, n: int):
+def ngram_shingles(text_col, n: int, hash_fn: str = "xxhash64"):
     """All consecutive n-token shingles of a space-tokenized text column,
-    md5-hashed (the join key a 100 TB run would ship, not raw strings)."""
+    hashed down to a join key (never raw strings). hash_fn: 'xxhash64'
+    (library default — an 8-byte key, so the eval broadcast table and the
+    exploded corpus column carry fixed 8-byte values instead of 32-char
+    hex strings; hashing CPU itself measures ~equal, the concat dominates)
+    or 'md5' (engine-portable; the driver oracle replays it in DuckDB)."""
     toks = F.split(text_col, " ")
     cnt = F.size(toks)
+    if hash_fn == "xxhash64":
+        mk = lambda c: F.xxhash64(c)  # noqa: E731
+        empty = F.array().cast("array<bigint>")
+    elif hash_fn == "md5":
+        mk = lambda c: F.md5(c)  # noqa: E731
+        empty = F.array().cast("array<string>")
+    else:
+        raise ValueError(f"ngram_shingles: unknown hash_fn {hash_fn!r}")
     shingles = F.transform(
         F.sequence(F.lit(1), cnt - n + 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        lambda i: mk(F.concat_ws(" ", F.slice(toks, i, n))),
     )
     # F.sequence(1, stop) with stop < 1 yields a DESCENDING sequence, not an
     # empty one — docs shorter than n tokens must produce zero shingles
-    return F.when(cnt >= n, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(cnt >= n, shingles).otherwise(empty)
 
 
 def contamination_hits(
@@ -76,6 +86,7 @@ def contamination_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = DECONTAM_NGRAM,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The contaminated subset only: (doc_id, n_hits > 0) for corpus docs
     sharing at least one n-gram shingle with the eval set — ONE corpus scan
@@ -84,14 +95,16 @@ def contamination_hits(
     all-docs audit frame (a second corpus scan)."""
     eval_shingles = (
         eval_docs.select(
-            F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
+            F.explode(ngram_shingles(F.col(text_col), n, hash_fn)).alias(
+                "shingle"
+            )
         )
         .distinct()
     )
     corpus_shingles = corpus.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(ngram_shingles(F.col(text_col), n))
+            F.array_distinct(ngram_shingles(F.col(text_col), n, hash_fn))
         ).alias("shingle"),
     )
     return (
@@ -107,6 +120,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = DECONTAM_NGRAM,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Flag corpus documents sharing any n-gram shingle with the eval set.
 
@@ -114,7 +128,7 @@ def decontaminate(
     shingles, contaminated). The eval shingle table and the per-doc hit
     counts are both broadcast — the corpus itself never shuffles.
     """
-    hits = contamination_hits(corpus, eval_docs, text_col, id_col, n)
+    hits = contamination_hits(corpus, eval_docs, text_col, id_col, n, hash_fn)
     return corpus.select(id_col).join(F.broadcast(hits), id_col, "left").select(
         id_col,
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
@@ -151,7 +165,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
-    return decontaminate(corpus, evals)
+    # md5 pinned so the DuckDB oracle replays the identical shingle keys;
+    # the library default stays xxhash64 (same split simhash_dedup uses)
+    return decontaminate(corpus, evals, hash_fn="md5")
 
 
 SQL_DECONTAMINATE = f"""
