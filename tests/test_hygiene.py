@@ -434,3 +434,78 @@ def test_mixture_sample_plan_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest-admission gate
+
+
+def test_streaming_ingest_gate_matches_batch(spark, tmp_path):
+    """The foreachBatch admission gate (quality + lang + decontamination)
+    over a multi-micro-batch stream must admit exactly the same doc set as
+    one batch pass, and the per-batch metrics must sum to the totals."""
+    import os
+    import time
+
+    from geojson_vt_spark.streaming.ingest_stream import (
+        admit_batch,
+        run_ingest_to_memory,
+    )
+
+    filler = lambda d: " ".join(f"w{d}x{j}" for j in range(12))  # noqa: E731
+    ev_toks = " ".join(f"evaltok{j}" for j in range(8))
+    good = [(d, "web", f"the quick {filler(d)} and more") for d in range(12)]
+    bad = [
+        (100, "web", "tiny"),  # quality (min_chars=30)
+        (101, "web", "les que eau est " + " ".join(f"z{j}" for j in range(12))),
+        (102, "web", f"the quick {filler(31)} {ev_toks} and more"),  # leak
+    ]
+    evals = spark.createDataFrame(
+        [(9000, ev_toks + " tail1 tail2 tail3")], ["doc_id", "text"]
+    )
+
+    def write_file(rows, sub, mtime):
+        p = tmp_path / "ingest" / sub
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "CAST(NULL AS STRING) AS lang", "source",
+            "CAST(length(text) AS LONG) AS n_chars",
+        )
+        df.coalesce(1).write.parquet(str(p))
+        for f in p.glob("*.parquet"):
+            os.utime(f, (mtime, mtime))
+        return p
+
+    (tmp_path / "ingest").mkdir()
+    flat = tmp_path / "ingest_flat"
+    flat.mkdir()
+    now = time.time()
+    for i, (rows, sub) in enumerate(
+        [(good[:6], "b0"), (good[6:] + bad, "b1")]
+    ):
+        p = write_file(rows, sub, now + i)
+        for f in p.glob("*.parquet"):
+            tgt = flat / f"{sub}.parquet"
+            f.rename(tgt)
+            os.utime(tgt, (now + i, now + i))
+
+    _, metrics = run_ingest_to_memory(
+        spark, str(flat), evals, table="t_admit_test",
+        min_chars=30, langs=("en",), max_files_per_trigger=1,
+    )
+    stream_ids = {r.doc_id for r in spark.table("t_admit_test").collect()}
+    assert stream_ids == {d for d, _, _ in good}
+    assert len(metrics) >= 2  # maxFilesPerTrigger forced multiple batches
+    assert sum(m["docs_in"] for m in metrics) == 15
+    assert sum(m["admitted"] for m in metrics) == 12
+
+    # batch twin over the union of all arrived files — same admitted set
+    full = spark.createDataFrame(
+        good + bad, "doc_id long, source string, text string"
+    )
+    batch_admitted, stage = admit_batch(full, evals, min_chars=30, langs=("en",))
+    assert {r.doc_id for r in batch_admitted.collect()} == stream_ids
+    assert stage["docs_in"] == 15
+    assert stage["quality_passed"] == 14  # drops 100
+    assert stage["lang_passed"] == 13     # drops 101; leak falls later
