@@ -960,6 +960,39 @@ def ivf_index_write(embeddings: DataFrame, path: str, nlist: int = 16) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_index_append(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental maintenance of the on-disk IVF index: assign NEWLY
+    ARRIVED vectors against the FROZEN centroid table stored beside the
+    lists and append them to their inverted-list directories
+    (mode('append') under the same partitionBy('list_id') layout, so
+    serving reads — partition-pruned by probes — pick the new files up
+    with no reader change).
+
+    The coarse quantizer is deliberately NOT refreshed: assignment depends
+    only on the stored centroids, so appends commute (append(A);append(B)
+    holds exactly the rows of assigning A∪B once — equality-tested), and
+    re-training under drift is an offline rebuild decision
+    (ivf_index_write), the standard IVF maintenance split. Streaming
+    ingest composes directly: foreachBatch(lambda df, _:
+    ivf_index_append(df, path)) turns an arriving-embeddings stream into
+    a live-growing index."""
+    spark = new_embeddings.sparkSession
+    cents = [
+        (int(r.rk), [float(v) for v in r.embedding])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cents.sort()
+    ranked = _ivf_rank_structs(cents)
+    (
+        new_embeddings.select(
+            "vec_id", "embedding", ranked[0]["rk"].alias("list_id")
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 def _round6_half_up(x: float) -> float:
     """Exact twin of Spark's F.round(col, 6) on a driver-side double:
     java.math.BigDecimal(double).setScale(6, HALF_UP) == decimal.Decimal
