@@ -43,10 +43,20 @@ per-source sequence-packing bin manifests over the kept corpus to
 <output>_packs, packing on a token count carried from the stage-1 scan so
 the text column is never re-read.
 
+Resumability (--workdir): the expensive stage outputs — near-dup pairs
+(the band-join shuffle) and the narrow exact keep-ids — persist as
+parquet snapshots, with the stage-count row written LAST as the
+completion certificate; a re-submitted job whose workdir certifies skips
+stages 1-3b entirely and re-runs only the cheap tail (CC, anti-join,
+sample, pack). An options fingerprint refuses to resume snapshots built
+under different filters/input (pyramid_job's per-level contract, applied
+per stage); sample-k / pack-budget are excluded from the fingerprint by
+design — re-submitting with a different sample size REUSES the dedup work.
+
 Prints one PIPELINE_METRICS JSON line: per-stage doc counts (input,
 quality-passed, lang-passed, decontam-dropped, exact-kept, near-dup pairs,
-clusters, kept, pack bins, sampled) and wall time — the per-stage lineage
-a pipeline operator actually monitors.
+clusters, kept, pack bins, sampled), a resumed flag, and wall time — the
+per-stage lineage a pipeline operator actually monitors.
 """
 
 from __future__ import annotations
@@ -88,7 +98,55 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                     help="when > 0, also write per-source sequence-packing "
                          "bin manifests (budget tokens per training "
                          "sequence) to <output>_packs")
+    ap.add_argument("--workdir", default=None,
+                    help="stage-snapshot dir: the expensive stage outputs "
+                         "(exact keep-ids, near-dup pairs, stage counts) "
+                         "persist here and a re-submitted job resumes past "
+                         "them instead of recomputing (pyramid_job's "
+                         "per-level contract, applied per stage)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore any snapshots already in --workdir")
     return ap.parse_args(argv)
+
+
+# args that change the stage snapshots' content — a workdir built under
+# different values must refuse to resume (same contract as pyramid_job's
+# options fingerprint). sample-k / pack-budget run AFTER the snapshots and
+# are deliberately excluded: re-submitting with a different sample size
+# reuses the expensive dedup work, which is the point.
+_FP_ARGS = (
+    "documents", "langs", "min_chars", "min_uniq_ratio",
+    "max_dup_bigram_ratio", "dedup_threshold", "lsh_bucket_cap",
+    "decontam_eval", "decontam_ngram",
+)
+
+
+def _guard_fingerprint(spark, workdir: str, args, resume: bool) -> None:
+    import json as _json
+
+    fp = {k: getattr(args, k.replace("-", "_")) for k in _FP_ARGS}
+    path = workdir.rstrip("/") + "/_options_fingerprint"
+
+    def record():
+        spark.createDataFrame([(_json.dumps(fp),)], "fp string").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    if not resume:
+        record()
+        return
+    try:
+        prev = _json.loads(spark.read.parquet(path).collect()[0]["fp"])
+    except Exception:  # noqa: BLE001 — first run
+        record()
+        return
+    if prev != fp:
+        diff = {k: (prev.get(k), fp[k]) for k in fp if prev.get(k) != fp[k]}
+        raise SystemExit(
+            "corpus_pipeline_job: --workdir holds stage snapshots built "
+            f"under DIFFERENT options/input ({diff}); resuming would mix "
+            "corpora. Pass --no-resume or use a new --workdir."
+        )
 
 
 def main(argv: list[str]) -> None:
@@ -97,18 +155,44 @@ def main(argv: list[str]) -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from geojson_vt_spark.analytics import quality_cols
-    from geojson_vt_spark.training import (
-        connected_components,
-        lang_cols,
-        minhash_lsh_pairs,
-        stratified_sample,
-    )
+    from geojson_vt_spark.training import lang_cols, minhash_lsh_pairs
 
     spark = SparkSession.builder.appName(
         "geojson-vt-spark corpus pipeline"
     ).getOrCreate()
 
     t0 = time.time()
+    resume = not args.no_resume
+    snap = (
+        (lambda name: args.workdir.rstrip("/") + "/" + name)
+        if args.workdir
+        else None
+    )
+    if args.workdir:
+        _guard_fingerprint(spark, args.workdir, args, resume)
+
+    # Resume check: stage_counts is written LAST of the three snapshots, so
+    # its presence certifies exact_ids + pairs are complete. CC and the
+    # final anti-join/sample/pack re-run from the snapshots (they are cheap
+    # relative to the band join; the snapshots hold the expensive work).
+    meta = None
+    if snap and resume:
+        try:
+            meta = json.loads(
+                spark.read.parquet(snap("stage_counts")).collect()[0]["m"]
+            )
+        except Exception:  # noqa: BLE001 — nothing snapshotted yet
+            meta = None
+    if meta is not None:
+        _finish(
+            spark, args, t0,
+            exact_ids=spark.read.parquet(snap("exact_ids")),
+            pairs=spark.read.parquet(snap("pairs")),
+            counts=meta,
+            resumed=True,
+        )
+        return
+
     docs = spark.read.parquet(args.documents)
 
     # Stages 1+2 fold into one scan: every signal is a Column expression, so
@@ -191,10 +275,11 @@ def main(argv: list[str]) -> None:
         )
     )
 
-    # Stage 3b: near-dup dedup over the exact-deduped survivors (the
+    # Stage 3b: near-dup pair mining over the exact-deduped survivors (the
     # expensive stage sees the smallest possible corpus). Banded minhash
-    # candidates + exact Jaccard refine, CC grouping, broadcast drop-list
-    # anti-join.
+    # candidates + exact Jaccard refine. With --workdir, pairs and the
+    # narrow exact keep-ids persist as parquet snapshots (lineage cut AND
+    # the resume point); otherwise localCheckpoint cuts lineage in-session.
     toks = exact.select(
         "doc_id", "source",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
@@ -203,8 +288,52 @@ def main(argv: list[str]) -> None:
         toks,
         threshold=args.dedup_threshold,
         bucket_cap=args.lsh_bucket_cap if args.lsh_bucket_cap > 0 else None,
-    ).localCheckpoint(eager=True)
+    )
+    if snap:
+        pairs.write.mode("overwrite").parquet(snap("pairs"))
+        pairs = spark.read.parquet(snap("pairs"))
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
     n_pairs = pairs.count()
+
+    # narrow (doc_id, source, token-count) checkpoint of the exact keepers:
+    # text never leaves the executors, and the exact-dedup aggregate runs
+    # once for the pair pipeline (above, already checkpointed) and once here
+    # — not again for the final anti-join and the stage count
+    if snap:
+        exact.select("doc_id", "source", "_n_tok").write.mode(
+            "overwrite"
+        ).parquet(snap("exact_ids"))
+        exact_ids = spark.read.parquet(snap("exact_ids"))
+    else:
+        exact_ids = exact.select("doc_id", "source", "_n_tok").localCheckpoint(
+            eager=True
+        )
+    n_exact = exact_ids.count()
+
+    counts = {
+        "docs_in": n_in,
+        "quality_passed": n_quality,
+        "lang_passed": n_lang,
+        "decontam_dropped": n_contam,
+        "exact_kept": n_exact,
+        "near_dup_pairs": n_pairs,
+    }
+    if snap:
+        # written LAST: its presence certifies the full snapshot set
+        spark.createDataFrame([(json.dumps(counts),)], "m string").write.mode(
+            "overwrite"
+        ).parquet(snap("stage_counts"))
+    _finish(spark, args, t0, exact_ids, pairs, counts, resumed=False)
+
+
+def _finish(spark, args, t0, exact_ids, pairs, counts, resumed: bool) -> None:
+    """Stages downstream of the snapshots: CC grouping, drop-list anti-join,
+    optional sample, output write, optional packing manifests, metrics."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.training import connected_components, stratified_sample
+
     clusters = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -212,14 +341,6 @@ def main(argv: list[str]) -> None:
     drops = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select(
         "doc_id"
     )
-    # narrow (doc_id, source, token-count) checkpoint of the exact keepers:
-    # text never leaves the executors, and the exact-dedup aggregate runs
-    # once for the pair pipeline (above, already checkpointed) and once here
-    # — not again for the final anti-join and the stage count
-    exact_ids = exact.select("doc_id", "source", "_n_tok").localCheckpoint(
-        eager=True
-    )
-    n_exact = exact_ids.count()
     kept = exact_ids.join(F.broadcast(drops), "doc_id", "left_anti")
 
     # Stage 4: optional balanced draw per source stratum.
@@ -254,16 +375,12 @@ def main(argv: list[str]) -> None:
         n_bins = spark.read.parquet(args.output + "_packs").count()
 
     metrics = {
-        "docs_in": n_in,
-        "quality_passed": n_quality,
-        "lang_passed": n_lang,
-        "decontam_dropped": n_contam,
-        "exact_kept": n_exact,
-        "near_dup_pairs": n_pairs,
+        **counts,
         "clusters": n_clusters,
         "docs_out": n_out,
         "pack_bins": n_bins,
         "sample_k": args.sample_k,
+        "resumed": resumed,
         "sec": round(time.time() - t0, 3),
     }
     print("PIPELINE_METRICS " + json.dumps(metrics))

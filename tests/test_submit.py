@@ -459,3 +459,76 @@ def test_spark_submit_pipeline_sample_plus_pack(spark, tmp_path):
     for s in ("src0", "src1"):
         assert per_src[s] == {0: (2, 20), 1: (1, 10)}
     assert sum(r.n_docs for r in packs) == 6
+
+
+def test_spark_submit_pipeline_workdir_resume(spark, tmp_path):
+    """--workdir stage snapshots: a re-submitted job resumes past the
+    expensive stages (resumed=true, identical counts and output), and a
+    changed filter option REFUSES to resume the stale snapshots."""
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+
+    rows = [
+        (s * 100 + i, f"src{s}", " ".join(f"r{s}_{i}w{j}" for j in range(10)))
+        for s in range(2)
+        for i in range(5)
+    ]
+    # one near-dup pair so the pairs snapshot is non-empty
+    rows.append((900, "src0", rows[0][2] + " extratok"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs_path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(docs_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_path = str(tmp_path / "resume-corpus")
+    wd = str(tmp_path / "stage-snapshots")
+
+    def run(extra):
+        return subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+                "--documents", docs_path,
+                "--output", out_path,
+                "--workdir", wd,
+            ] + extra,
+            capture_output=True, text=True, cwd=str(tmp_path), env=env,
+            timeout=600,
+        )
+
+    def metrics(proc):
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        line = [
+            l for l in proc.stdout.splitlines()
+            if l.startswith("PIPELINE_METRICS ")
+        ]
+        return json.loads(line[-1][len("PIPELINE_METRICS "):])
+
+    m1 = metrics(run(["--min-chars", "10"]))
+    assert m1["resumed"] is False
+    ids1 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+
+    m2 = metrics(run(["--min-chars", "10"]))
+    assert m2["resumed"] is True
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert ids1 == ids2
+    for k in ("docs_in", "quality_passed", "lang_passed", "exact_kept",
+              "near_dup_pairs", "clusters", "docs_out"):
+        assert m1[k] == m2[k], k
+    assert m1["near_dup_pairs"] >= 1  # the snapshot held real pairs
+
+    # changed filter option must refuse the stale snapshots
+    bad = run(["--min-chars", "11"])
+    assert bad.returncode != 0
+    assert "DIFFERENT options" in (bad.stderr + bad.stdout)
+
+    # sample-k is OUTSIDE the fingerprint: resumes and re-runs the tail
+    m3 = metrics(run(["--min-chars", "10", "--sample-k", "2"]))
+    assert m3["resumed"] is True
+    assert m3["docs_out"] == 4  # 2 per source
