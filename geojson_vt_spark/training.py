@@ -1331,6 +1331,85 @@ def heatmap_cells(df: DataFrame, z: int = _HEATMAP_Z) -> DataFrame:
     return df.withColumn("cx", cx).withColumn("cy", cy)
 
 
+SESSION_GAP_US = 28_800_000_000  # 8h inactivity closes a session
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: per entity, a new session starts when the
+    inactivity gap to the previous event exceeds `gap_us` microseconds;
+    session ids are the running count of session starts (1-based, dense,
+    deterministic — ties in ts break by `order_tiebreak`).
+
+    One shuffle total: the lag/running-sum windows and the per-session
+    aggregate all cluster on the entity hash partitioning (Catalyst reuses
+    the exchange for the groupBy). Returns per-session rows: (user_id,
+    session_id, n_events, start_us, end_us, total_value).
+
+    The events table's ts is TIMESTAMP_NTZ; micros come from a timestamp
+    diff against an NTZ epoch literal, NOT unix_micros (which would force
+    a cast through the session time zone and desync from DuckDB's
+    zone-less epoch_us).
+    """
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    base = events.select(
+        entity_col, F.col(order_tiebreak), us.alias("_us"), "value"
+    )
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col("_us").asc(), F.col(order_tiebreak).asc()
+    )
+    prev = F.lag("_us").over(w)
+    new_s = (prev.isNull() | ((F.col("_us") - prev) > gap_us)).cast("long")
+    sess = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("session_id", sess)
+        .groupBy(entity_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.round(F.sum("value"), 9).alias("total_value"),
+        )
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    return sessionize_events(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {SESSION_GAP_US}
+            THEN 1 ELSE 0 END AS ns
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT user_id,
+       CAST(sess AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       ROUND(SUM(value), 9) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+
 def q_events_tile_heatmap(spark, sf_dir):
     """Raster path: hourly z6 tile heatmap of the event stream — one
     partial-agg shuffle on (hour, cx, cy). The streaming twin
@@ -1814,6 +1893,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "bpe_token_count": q_bpe_token_count,
     "events_tile_heatmap": q_events_tile_heatmap,
+    "event_sessions": q_event_sessions,
     "raster_vector_bridge": q_raster_vector_bridge,
 }
 
@@ -1855,5 +1935,6 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "events_tile_heatmap": SQL_EVENTS_TILE_HEATMAP,
+    "event_sessions": SQL_EVENT_SESSIONS,
     "raster_vector_bridge": SQL_RASTER_VECTOR_BRIDGE,
 }

@@ -868,3 +868,51 @@ def test_repetition_cols_planted_values(spark):
     assert rows[1] == (round(1.0 - 1.0 / 3.0, 9), 1.0)  # 3 bigrams, 1 distinct
     assert rows[2] == (0.0, 0.25)
     assert rows[3] == (0.0, 1.0)  # single token: guard path
+
+
+def test_sessionize_events_gap_boundary(spark):
+    """Hand-built timeline: gaps exactly AT the threshold stay in-session,
+    one microsecond over starts a new one; entities are independent."""
+    import datetime as dt
+
+    from geojson_vt_spark.training import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda micros: t0 + dt.timedelta(microseconds=micros)  # noqa: E731
+    GAP = 1_000_000  # 1s sessions for the test
+    rows = [
+        # user 1: 0, +GAP (exactly at threshold -> same session),
+        # then +GAP+1 (over -> new session)
+        (1, 1, us(0), 1.0),
+        (2, 1, us(GAP), 2.0),
+        (3, 1, us(2 * GAP + 1), 4.0),
+        # user 2: single event
+        (4, 2, us(500), 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us, r.total_value)
+        for r in sessionize_events(df, gap_us=GAP).collect()
+    }
+    # compare relative spans (absolute epoch depends only on the NTZ diff,
+    # identical across rows)
+    base = got[(1, 1)][1]
+    assert got[(1, 1)][0] == 2 and got[(1, 1)][3] == 3.0
+    assert got[(1, 1)][2] - base == GAP
+    assert got[(1, 2)][0] == 1 and got[(1, 2)][1] - base == 2 * GAP + 1
+    assert got[(2, 1)][0] == 1 and got[(2, 1)][3] == 8.0
+
+
+def test_sessionize_single_exchange(spark):
+    """Scale gate: the lag window, running sum, and per-session aggregate
+    must share ONE hash exchange on the entity (exchange reuse), with no
+    join anywhere."""
+    from geojson_vt_spark.training import q_event_sessions
+
+    plan = (
+        q_event_sessions(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
