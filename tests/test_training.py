@@ -916,3 +916,45 @@ def test_sessionize_single_exchange(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Native session_window + watermark streaming aggregation over a
+    multi-micro-batch drain must produce the same session set as the batch
+    sessionize_events (keys: user, start/end event micros, count, value
+    sum). Equality also certifies the synthetic data holds no exact
+    gap-boundary tie (the one documented semantic difference)."""
+    import os
+    import shutil
+    import time
+
+    from geojson_vt_spark.streaming.session_stream import run_sessions_to_memory
+    from geojson_vt_spark.training import sessionize_events
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    stream_dir = tmp_path / "events_sessions"
+    stream_dir.mkdir()
+    # two arriving files split by time so sessions SPAN micro-batches
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    now = time.time()
+    for i, pred in enumerate((f"event_id < {mid}", f"event_id >= {mid}")):
+        sub = tmp_path / f"ev{i}"
+        events.where(pred).coalesce(1).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            tgt = stream_dir / f"e{i}.parquet"
+            shutil.move(str(f), str(tgt))
+            os.utime(tgt, (now + i, now + i))
+
+    run_sessions_to_memory(
+        spark, str(stream_dir), table="t_sessions_test", max_files_per_trigger=1
+    )
+    stream_rows = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.total_value)
+        for r in spark.table("t_sessions_test").collect()
+    }
+    batch_rows = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.total_value)
+        for r in sessionize_events(events).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 100
