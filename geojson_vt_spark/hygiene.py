@@ -262,9 +262,19 @@ def line_dedup(
       reassemble each document with ONE groupBy(doc_id): order restored by
       sorting the collected (pos, line) structs. One corpus shuffle,
       hash-lookup cost per line — the 100 TB shape.
-    * 'auto' — count the frequent lines (one tiny aggregate job) and pick
-      'array' iff the set fits `boiler_cap`.
+    * 'auto' — count the frequent lines and pick 'array' iff the set fits
+      `boiler_cap`. NOTE: the pick runs its aggregate job EAGERLY at
+      DataFrame-construction time (the plan cannot be chosen lazily);
+      latency-sensitive builders (the driver query does) pin an engine
+      instead. Under auto, boiler_cap=None means "never the array engine"
+      — the unbounded-array escape hatch only exists with an explicit
+      engine='array'.
+
+    Null-text documents are excluded from the output (both engines,
+    identically — posexplode of a null array would silently drop them
+    from the join engine only; filter or coalesce upstream to keep them).
     """
+    docs = docs.where(F.col(text_col).isNotNull())
     lines = docs.select(
         F.col(id_col), doc_lines(F.col(text_col), line_tokens).alias("lines")
     )

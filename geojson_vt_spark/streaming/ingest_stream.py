@@ -55,27 +55,38 @@ def admit_batch(
     batch_df: DataFrame,
     eval_docs: DataFrame,
     min_chars: int = 100,
+    min_uniq_ratio: float = 0.0,
+    max_dup_bigram_ratio: float | None = None,
     langs: tuple[str, ...] = ("en", "de", "fr"),
     decontam_ngram: int = 8,
 ) -> tuple[DataFrame, dict]:
     """One micro-batch through the admission gate; returns (admitted_df,
-    stage_counts). The same plan as corpus_pipeline_job stages 1-2b: one
-    scan for the Column gates (counts from one aggregate of flag sums),
-    then a broadcast anti-join against the contaminated ids."""
+    stage_counts). The same plan as corpus_pipeline_job stages 1-2b, with
+    the same knobs: length + distinct-token-ratio (min_uniq_ratio=0.0
+    disables that conjunct, matching the job's default) + optional
+    repetition gate, language filter, then a broadcast anti-join against
+    the contaminated ids (checkpointed ids-only, reused by the join —
+    the shingle explode runs once per batch, not once per consumer)."""
     from ..analytics import quality_cols
     from ..hygiene import contamination_hits
     from ..training import lang_cols
 
     qc = quality_cols()
     lc = lang_cols()
+    quality_ok = (F.length("text") >= min_chars) & (
+        qc["uniq_ratio"] >= min_uniq_ratio
+    )
+    if max_dup_bigram_ratio is not None:
+        from ..analytics import repetition_cols
+
+        quality_ok = quality_ok & (
+            repetition_cols()["dup_bigram_ratio"] <= max_dup_bigram_ratio
+        )
     flagged = batch_df.select(
         "doc_id",
         "source",
         "text",
-        (
-            (F.length("text") >= min_chars)
-            & (qc["uniq_ratio"] >= F.lit(0.0))
-        ).alias("_q_ok"),
+        quality_ok.alias("_q_ok"),
         lc["guess"].alias("_lang"),
     )
     keep_flag = F.col("_q_ok") & F.col("_lang").isin(list(langs))
@@ -85,9 +96,11 @@ def admit_batch(
         F.sum(keep_flag.cast("long")).alias("n_lang"),
     ).collect()[0]
     survivors = flagged.where(keep_flag)
-    contaminated = contamination_hits(
-        survivors, eval_docs, n=decontam_ngram
-    ).select("doc_id")
+    contaminated = (
+        contamination_hits(survivors, eval_docs, n=decontam_ngram)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     admitted = survivors.join(
         F.broadcast(contaminated), "doc_id", "left_anti"
     ).select("doc_id", "source", "text")
@@ -105,6 +118,8 @@ def run_ingest_to_memory(
     eval_docs: DataFrame,
     table: str = "t_admitted",
     min_chars: int = 100,
+    min_uniq_ratio: float = 0.0,
+    max_dup_bigram_ratio: float | None = None,
     langs: tuple[str, ...] = ("en", "de", "fr"),
     max_files_per_trigger: int | None = None,
 ):
@@ -120,7 +135,9 @@ def run_ingest_to_memory(
     # scale); swap this body for df.write.mode('append') in production
     def _each(batch_df: DataFrame, batch_id: int) -> None:
         admitted, stage = admit_batch(
-            batch_df, eval_docs, min_chars=min_chars, langs=langs
+            batch_df, eval_docs, min_chars=min_chars,
+            min_uniq_ratio=min_uniq_ratio,
+            max_dup_bigram_ratio=max_dup_bigram_ratio, langs=langs,
         )
         rows = admitted.collect()
         admitted_rows.extend(tuple(r) for r in rows)

@@ -960,7 +960,9 @@ def ivf_index_write(embeddings: DataFrame, path: str, nlist: int = 16) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
-def ivf_index_append(new_embeddings: DataFrame, path: str) -> None:
+def ivf_index_append(
+    new_embeddings: DataFrame, path: str, skip_existing: bool = True
+) -> None:
     """Incremental maintenance of the on-disk IVF index: assign NEWLY
     ARRIVED vectors against the FROZEN centroid table stored beside the
     lists and append them to their inverted-list directories
@@ -975,7 +977,15 @@ def ivf_index_append(new_embeddings: DataFrame, path: str) -> None:
     (ivf_index_write), the standard IVF maintenance split. Streaming
     ingest composes directly: foreachBatch(lambda df, _:
     ivf_index_append(df, path)) turns an arriving-embeddings stream into
-    a live-growing index."""
+    a live-growing index.
+
+    skip_existing (default True) makes the append IDEMPOTENT: new vec_ids
+    anti-join the index's stored ids first, so an at-least-once foreachBatch
+    replay (parquet committed, checkpoint offset not) cannot duplicate rows
+    — duplicated vectors would silently occupy two top-k ranks at serving
+    time forever. Cost: one ids-only column-pruned scan of the index per
+    append; pass False only for bulk loads with externally-guaranteed
+    exactly-once ids."""
     spark = new_embeddings.sparkSession
     cents = [
         (int(r.rk), [float(v) for v in r.embedding])
@@ -983,6 +993,15 @@ def ivf_index_append(new_embeddings: DataFrame, path: str) -> None:
     ]
     cents.sort()
     ranked = _ivf_rank_structs(cents)
+    if skip_existing:
+        # eager checkpoint cuts the plan's dependency on the very parquet
+        # path the write below appends to (read-your-own-append hazard)
+        existing = (
+            spark.read.parquet(f"{path}/lists")
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+        new_embeddings = new_embeddings.join(existing, "vec_id", "left_anti")
     (
         new_embeddings.select(
             "vec_id", "embedding", ranked[0]["rk"].alias("list_id")

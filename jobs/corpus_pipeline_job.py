@@ -122,9 +122,19 @@ _FP_ARGS = (
 
 
 def _guard_fingerprint(spark, workdir: str, args, resume: bool) -> None:
+    import hashlib
     import json as _json
 
     fp = {k: getattr(args, k.replace("-", "_")) for k in _FP_ARGS}
+    # content marker, not just the path: an in-place refresh of the input
+    # parquet (the routine daily pattern) writes new part filenames, so
+    # hashing the sorted file listing catches "same path, different data"
+    # and refuses to serve yesterday's snapshots. No data is scanned.
+    fp["_input_files"] = hashlib.md5(
+        "\n".join(
+            sorted(spark.read.parquet(args.documents).inputFiles())
+        ).encode()
+    ).hexdigest()
     path = workdir.rstrip("/") + "/_options_fingerprint"
 
     def record():
@@ -172,8 +182,8 @@ def main(argv: list[str]) -> None:
         _guard_fingerprint(spark, args.workdir, args, resume)
 
     # Resume check: stage_counts is written LAST of the three snapshots, so
-    # its presence certifies exact_ids + pairs are complete. CC and the
-    # final anti-join/sample/pack re-run from the snapshots (they are cheap
+    # a COMPLETE counts dict certifies exact_ids + pairs. CC and the final
+    # anti-join/sample/pack re-run from the snapshots (they are cheap
     # relative to the band join; the snapshots hold the expensive work).
     meta = None
     if snap and resume:
@@ -183,6 +193,8 @@ def main(argv: list[str]) -> None:
             )
         except Exception:  # noqa: BLE001 — nothing snapshotted yet
             meta = None
+        if not (isinstance(meta, dict) and "docs_in" in meta):
+            meta = None  # incomplete marker or unreadable — no certificate
     if meta is not None:
         _finish(
             spark, args, t0,
@@ -192,6 +204,17 @@ def main(argv: list[str]) -> None:
             resumed=True,
         )
         return
+
+    if snap:
+        # INVALIDATE any stale certificate before fresh compute begins: a
+        # fresh run that crashes mid-way must not leave a prior run's
+        # stage_counts "certifying" snapshots the new fingerprint no longer
+        # describes (the fingerprint records at startup, so without this a
+        # crashed --no-resume run followed by a default resume would mix
+        # corpora silently).
+        spark.createDataFrame(
+            [(json.dumps({"_incomplete": True}),)], "m string"
+        ).write.mode("overwrite").parquet(snap("stage_counts"))
 
     docs = spark.read.parquet(args.documents)
 

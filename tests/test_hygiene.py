@@ -509,3 +509,40 @@ def test_streaming_ingest_gate_matches_batch(spark, tmp_path):
     assert stage["docs_in"] == 15
     assert stage["quality_passed"] == 14  # drops 100
     assert stage["lang_passed"] == 13     # drops 101; leak falls later
+
+
+def test_line_dedup_null_text_consistent_across_engines(spark):
+    """Null-text docs are excluded identically by BOTH engines (posexplode
+    would otherwise silently drop them from the join engine only)."""
+    from geojson_vt_spark.hygiene import line_dedup
+
+    l1 = " ".join(f"n{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, l1), (2, None), (3, l1)], "doc_id long, text string"
+    )
+    for eng in ("array", "join"):
+        got = {r.doc_id for r in line_dedup(df, engine=eng).collect()}
+        assert got == {1, 3}, eng
+
+
+def test_ingest_gate_quality_knobs(spark):
+    """min_uniq_ratio and max_dup_bigram_ratio must actually gate (the
+    first version's uniq conjunct was vacuously true)."""
+    from geojson_vt_spark.streaming.ingest_stream import admit_batch
+
+    evals = spark.createDataFrame([(9000, "zz1 zz2 zz3")], ["doc_id", "text"])
+    repetitive = "the cat sat " * 12 + "the end"
+    diverse = "the quick " + " ".join(f"q{j}" for j in range(20)) + " and more"
+    df = spark.createDataFrame(
+        [(1, "web", diverse), (2, "web", repetitive)],
+        "doc_id long, source string, text string",
+    )
+    adm, stage = admit_batch(
+        df, evals, min_chars=10, min_uniq_ratio=0.5, langs=("en",)
+    )
+    assert {r.doc_id for r in adm.collect()} == {1}
+    assert stage["quality_passed"] == 1
+    adm2, _ = admit_batch(
+        df, evals, min_chars=10, max_dup_bigram_ratio=0.5, langs=("en",)
+    )
+    assert {r.doc_id for r in adm2.collect()} == {1}

@@ -243,3 +243,24 @@ def test_index_append_from_stream(spark, tmp_path):
         for r in spark.read.parquet(f"{pb}/lists").select("vec_id", "list_id").collect()
     }
     assert got == want and len(got) == e.count()
+
+
+def test_index_append_idempotent_on_replay(spark, tmp_path):
+    """An at-least-once replay of the same append batch must not duplicate
+    rows (skip_existing anti-join), and skip_existing=False documents the
+    raw behavior."""
+    from geojson_vt_spark.training import ivf_index_append, ivf_index_write
+
+    e = _emb(spark)
+    base = e.where("vec_id % 2 = 0")
+    new = e.where("vec_id % 2 = 1")
+    p = str(tmp_path / "idem")
+    ivf_index_write(base, p, nlist=16)
+    ivf_index_append(new, p)
+    n1 = spark.read.parquet(f"{p}/lists").count()
+    ivf_index_append(new, p)  # replayed micro-batch
+    n2 = spark.read.parquet(f"{p}/lists").count()
+    assert n1 == n2 == e.count()
+    # raw mode really appends (the external-exactly-once bulk path)
+    ivf_index_append(new.limit(5), p, skip_existing=False)
+    assert spark.read.parquet(f"{p}/lists").count() == n2 + 5
