@@ -817,6 +817,47 @@ SELECT dkey, MIN(doc_id) AS kept_doc, COUNT(*) AS dup_count FROM (
 """
 
 
+VOCAB_TOPK = 100
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the k most frequent whitespace tokens with
+    deterministic tie-break (count desc, token asc) and a dense rank — the
+    word-count table a BPE/vocab training run starts from.
+
+    Scale shape: explode -> partial-agg count (map-side combine collapses
+    to ~vocab volume before the shuffle), then the k head rows via
+    orderBy+limit — Spark plans TakeOrderedAndProject, a per-partition
+    bounded heap + driver merge, never a full vocab sort. The rank window
+    runs over the k collected rows only."""
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "token", F.col("n").cast("long").alias("n"))
+
+
+def q_vocab_topk(spark, sf_dir):
+    return vocab_topk(_t(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_TOPK = f"""
+WITH c AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), g AS (
+  SELECT token, COUNT(*) AS n FROM c GROUP BY token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+       token, CAST(n AS BIGINT) AS n
+FROM g ORDER BY n DESC, token LIMIT {VOCAB_TOPK}
+"""
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -1111,6 +1152,7 @@ QUERIES = {
     "cluster_id_codec": q_cluster_id_codec,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
+    "vocab_topk": q_vocab_topk,
     "quality_score": q_quality_score,
     "repetition_score": q_repetition_score,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -1138,6 +1180,7 @@ ORACLES = {
     "cluster_id_codec": SQL_CLUSTER_ID_CODEC,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "quality_score": SQL_QUALITY_SCORE,
     "repetition_score": SQL_REPETITION_SCORE,
     "ngram_jaccard_dedup": SQL_NGRAM_JACCARD_DEDUP,

@@ -98,6 +98,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                     help="when > 0, also write per-source sequence-packing "
                          "bin manifests (budget tokens per training "
                          "sequence) to <output>_packs")
+    ap.add_argument("--dedup-scope", choices=("source", "global"),
+                    default="source",
+                    help="'source' (default): byte- and near-duplicates "
+                         "collapse within each source only (cross-source "
+                         "copies survive); 'global': one corpus-wide dedup "
+                         "domain — the exact fingerprint groups without "
+                         "source and the LSH band keys drop it")
     ap.add_argument("--workdir", default=None,
                     help="stage-snapshot dir: the expensive stage outputs "
                          "(exact keep-ids, near-dup pairs, stage counts) "
@@ -117,7 +124,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 _FP_ARGS = (
     "documents", "langs", "min_chars", "min_uniq_ratio",
     "max_dup_bigram_ratio", "dedup_threshold", "lsh_bucket_cap",
-    "decontam_eval", "decontam_ngram",
+    "decontam_eval", "decontam_ngram", "dedup_scope",
 )
 
 
@@ -287,12 +294,15 @@ def main(argv: list[str]) -> None:
     # is what makes the stage-3b bucket cap a recall trade instead of a
     # correctness hole: mega-duplicate clusters are exact dups and never
     # reach the band join.
+    exact_keys = (
+        ["source"] if args.dedup_scope == "source" else []
+    ) + [F.md5(F.col("text")).alias("_fp")]
     exact = (
-        survivors.groupBy("source", F.md5(F.col("text")).alias("_fp"))
-        .agg(F.min(F.struct("doc_id", "text", "_n_tok")).alias("_r"))
+        survivors.groupBy(*exact_keys)
+        .agg(F.min(F.struct("doc_id", "text", "_n_tok", "source")).alias("_r"))
         .select(
             F.col("_r.doc_id").alias("doc_id"),
-            "source",
+            F.col("_r.source").alias("source"),
             F.col("_r.text").alias("text"),
             F.col("_r._n_tok").alias("_n_tok"),
         )
@@ -303,8 +313,16 @@ def main(argv: list[str]) -> None:
     # candidates + exact Jaccard refine. With --workdir, pairs and the
     # narrow exact keep-ids persist as parquet snapshots (lineage cut AND
     # the resume point); otherwise localCheckpoint cuts lineage in-session.
+    # under global scope the band join must not key on source: feed the
+    # LSH one synthetic domain (the pair output carries ids only, so the
+    # real source column is unaffected downstream)
+    dedup_source = (
+        F.col("source")
+        if args.dedup_scope == "source"
+        else F.lit("__global__")
+    )
     toks = exact.select(
-        "doc_id", "source",
+        "doc_id", dedup_source.alias("source"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
     pairs = minhash_lsh_pairs(

@@ -532,3 +532,56 @@ def test_spark_submit_pipeline_workdir_resume(spark, tmp_path):
     m3 = metrics(run(["--min-chars", "10", "--sample-k", "2"]))
     assert m3["resumed"] is True
     assert m3["docs_out"] == 4  # 2 per source
+
+
+def test_spark_submit_pipeline_global_dedup_scope(spark, tmp_path):
+    """--dedup-scope global: byte-copies and near-dups ACROSS sources
+    collapse (the default source scope keeps them)."""
+    sys.path.insert(0, REPO)
+    from make_pyfiles import build_zip
+
+    zip_path = build_zip(str(tmp_path / "geojson_vt_spark.zip"))
+
+    base = lambda i: " ".join(f"g{i}w{j}" for j in range(10))  # noqa: E731
+    rows = [(i, "srcA", base(i)) for i in range(8)]
+    rows.append((100, "srcB", base(1)))            # cross-source byte-copy
+    rows.append((101, "srcB", base(0) + " extra"))  # cross-source near-dup
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs_path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(docs_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(scope, out):
+        proc = subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+                "--documents", docs_path,
+                "--output", out,
+                "--min-chars", "10",
+                "--dedup-scope", scope,
+            ],
+            capture_output=True, text=True, cwd=str(tmp_path), env=env,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        line = [
+            l for l in proc.stdout.splitlines()
+            if l.startswith("PIPELINE_METRICS ")
+        ]
+        return json.loads(line[-1][len("PIPELINE_METRICS "):])
+
+    m_src = run("source", str(tmp_path / "out-src"))
+    assert m_src["exact_kept"] == 10   # copy survives across sources
+    assert m_src["docs_out"] == 10     # near-dup survives across sources
+
+    m_glob = run("global", str(tmp_path / "out-glob"))
+    assert m_glob["exact_kept"] == 9   # 100 collapses onto 1
+    assert m_glob["docs_out"] == 8     # 101 collapses onto 0
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out-glob")).collect()}
+    assert kept == set(range(8))

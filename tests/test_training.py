@@ -958,3 +958,29 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(batch_rows) > 100
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    """Planted counts: ranks order by count desc then token asc; k cuts
+    deterministically inside a tie group."""
+    from geojson_vt_spark.analytics import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b z")], ["doc_id", "text"]
+    )
+    got = [(r.rank, r.token, r.n) for r in vocab_topk(df, k=3).orderBy("rank").collect()]
+    assert got == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+    # k=2 cuts inside the a/b tie -> keeps the lexicographically first
+    got2 = [(r.token) for r in vocab_topk(df, k=2).orderBy("rank").collect()]
+    assert got2 == ["a", "b"]
+
+
+def test_vocab_topk_plan_heap_not_full_sort(spark):
+    """Scale gate: the head rows come from TakeOrderedAndProject (bounded
+    per-partition heap), never a global Sort of the vocabulary, and the
+    count aggregate is partial (map-side combine)."""
+    from geojson_vt_spark.analytics import q_vocab_topk
+
+    plan = q_vocab_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
