@@ -915,6 +915,30 @@ FROM documents
 """
 
 
+def admission_quality_col(
+    min_chars: int,
+    min_uniq_ratio: float = 0.0,
+    max_dup_bigram_ratio: float | None = None,
+    text_col: str = "text",
+):
+    """The stage-1 quality gate as ONE shared Column expression — length +
+    distinct-token-ratio + optional Gopher repetition conjunct. Both the
+    batch pipeline job and the streaming ingest gate build their keep flag
+    from this single definition, so their advertised parity is structural
+    rather than copy-paste (a vacuous drift between the two copies is what
+    a review once caught)."""
+    qc = quality_cols(text_col)
+    ok = (F.length(text_col) >= min_chars) & (
+        qc["uniq_ratio"] >= min_uniq_ratio
+    )
+    if max_dup_bigram_ratio is not None:
+        ok = ok & (
+            repetition_cols(text_col)["dup_bigram_ratio"]
+            <= max_dup_bigram_ratio
+        )
+    return ok
+
+
 def repetition_cols(text_col: str = "text") -> dict:
     """Gopher-style repetition signals as pure Column expressions (the
     production quality filter family next to quality_cols — repeated

@@ -62,26 +62,18 @@ def admit_batch(
 ) -> tuple[DataFrame, dict]:
     """One micro-batch through the admission gate; returns (admitted_df,
     stage_counts). The same plan as corpus_pipeline_job stages 1-2b, with
-    the same knobs: length + distinct-token-ratio (min_uniq_ratio=0.0
-    disables that conjunct, matching the job's default) + optional
-    repetition gate, language filter, then a broadcast anti-join against
-    the contaminated ids (checkpointed ids-only, reused by the join —
-    the shingle explode runs once per batch, not once per consumer)."""
-    from ..analytics import quality_cols
+    the same knobs — the quality gate is the SHARED
+    `analytics.admission_quality_col` expression, so batch/stream parity
+    is structural, not copy-paste — then a broadcast anti-join against
+    the contaminated ids."""
+    from ..analytics import admission_quality_col
     from ..hygiene import contamination_hits
     from ..training import lang_cols
 
-    qc = quality_cols()
     lc = lang_cols()
-    quality_ok = (F.length("text") >= min_chars) & (
-        qc["uniq_ratio"] >= min_uniq_ratio
+    quality_ok = admission_quality_col(
+        min_chars, min_uniq_ratio, max_dup_bigram_ratio
     )
-    if max_dup_bigram_ratio is not None:
-        from ..analytics import repetition_cols
-
-        quality_ok = quality_ok & (
-            repetition_cols()["dup_bigram_ratio"] <= max_dup_bigram_ratio
-        )
     flagged = batch_df.select(
         "doc_id",
         "source",
@@ -96,11 +88,13 @@ def admit_batch(
         F.sum(keep_flag.cast("long")).alias("n_lang"),
     ).collect()[0]
     survivors = flagged.where(keep_flag)
-    contaminated = (
-        contamination_hits(survivors, eval_docs, n=decontam_ngram)
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    # no checkpoint: unlike the batch job (which counts the contaminated
+    # set AND joins it), this frame has exactly one consumer — the
+    # anti-join below — so a per-micro-batch eager materialization would
+    # cost a job and executor-local blocks for zero reuse
+    contaminated = contamination_hits(
+        survivors, eval_docs, n=decontam_ngram
+    ).select("doc_id")
     admitted = survivors.join(
         F.broadcast(contaminated), "doc_id", "left_anti"
     ).select("doc_id", "source", "text")

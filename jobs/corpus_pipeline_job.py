@@ -128,42 +128,61 @@ _FP_ARGS = (
 )
 
 
-def _guard_fingerprint(spark, workdir: str, args, resume: bool) -> None:
+def _compute_fingerprint(spark, args) -> dict:
+    """Options + input-content fingerprint. The content marker lists every
+    input file's (path, size, mtime) through the Hadoop filesystem —
+    metadata-only, no data scan — so an in-place refresh is caught even
+    when the writer reuses identical part filenames (pyarrow/pandas emit
+    deterministic names, unlike Spark's UUIDs). Raises SystemExit with a
+    clear message when the input is unreadable (a resume cannot be
+    VERIFIED against a vanished input, so it must not proceed silently)."""
     import hashlib
-    import json as _json
+    import json as _json  # noqa: F401 — parity with caller's json use
 
     fp = {k: getattr(args, k.replace("-", "_")) for k in _FP_ARGS}
-    # content marker, not just the path: an in-place refresh of the input
-    # parquet (the routine daily pattern) writes new part filenames, so
-    # hashing the sorted file listing catches "same path, different data"
-    # and refuses to serve yesterday's snapshots. No data is scanned.
-    fp["_input_files"] = hashlib.md5(
-        "\n".join(
-            sorted(spark.read.parquet(args.documents).inputFiles())
-        ).encode()
-    ).hexdigest()
-    path = workdir.rstrip("/") + "/_options_fingerprint"
-
-    def record():
-        spark.createDataFrame([(_json.dumps(fp),)], "fp string").write.mode(
-            "overwrite"
-        ).parquet(path)
-
-    if not resume:
-        record()
-        return
     try:
-        prev = _json.loads(spark.read.parquet(path).collect()[0]["fp"])
-    except Exception:  # noqa: BLE001 — first run
-        record()
-        return
-    if prev != fp:
-        diff = {k: (prev.get(k), fp[k]) for k in fp if prev.get(k) != fp[k]}
+        files = sorted(spark.read.parquet(args.documents).inputFiles())
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        entries = []
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            st = p.getFileSystem(conf).getFileStatus(p)
+            entries.append(f"{f}\t{st.getLen()}\t{st.getModificationTime()}")
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001
         raise SystemExit(
-            "corpus_pipeline_job: --workdir holds stage snapshots built "
-            f"under DIFFERENT options/input ({diff}); resuming would mix "
-            "corpora. Pass --no-resume or use a new --workdir."
+            "corpus_pipeline_job: cannot read --documents "
+            f"({args.documents}: {type(e).__name__}) — the workdir "
+            "fingerprint cannot be verified, so neither a fresh run nor a "
+            "resume can proceed."
         )
+    fp["_input_files"] = hashlib.md5("\n".join(entries).encode()).hexdigest()
+    return fp
+
+
+def _fingerprint_path(workdir: str) -> str:
+    return workdir.rstrip("/") + "/_options_fingerprint"
+
+
+def _read_fingerprint(spark, workdir: str):
+    import json as _json
+
+    try:
+        return _json.loads(
+            spark.read.parquet(_fingerprint_path(workdir)).collect()[0]["fp"]
+        )
+    except Exception:  # noqa: BLE001 — nothing recorded yet
+        return None
+
+
+def _record_fingerprint(spark, workdir: str, fp: dict) -> None:
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps(fp),)], "fp string"
+    ).write.mode("overwrite").parquet(_fingerprint_path(workdir))
 
 
 def main(argv: list[str]) -> None:
@@ -171,7 +190,7 @@ def main(argv: list[str]) -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
-    from geojson_vt_spark.analytics import quality_cols
+    from geojson_vt_spark.analytics import admission_quality_col
     from geojson_vt_spark.training import lang_cols, minhash_lsh_pairs
 
     spark = SparkSession.builder.appName(
@@ -185,23 +204,46 @@ def main(argv: list[str]) -> None:
         if args.workdir
         else None
     )
-    if args.workdir:
-        _guard_fingerprint(spark, args.workdir, args, resume)
 
-    # Resume check: stage_counts is written LAST of the three snapshots, so
-    # a COMPLETE counts dict certifies exact_ids + pairs. CC and the final
-    # anti-join/sample/pack re-run from the snapshots (they are cheap
-    # relative to the band join; the snapshots hold the expensive work).
+    # Workdir protocol, crash-safe ordering: (1) verify the fingerprint and
+    # look for a certificate; (2) if resuming, serve the snapshots; (3) if
+    # computing fresh, INVALIDATE the old certificate FIRST and only then
+    # record the new fingerprint. A crash between (3)'s two writes leaves
+    # either {old fp + invalid cert} or {new fp + invalid cert} — in both
+    # states the next run recomputes; the fatal state {new fp + old
+    # complete cert} can never exist on disk.
     meta = None
-    if snap and resume:
-        try:
-            meta = json.loads(
-                spark.read.parquet(snap("stage_counts")).collect()[0]["m"]
+    if snap:
+        fp = _compute_fingerprint(spark, args)
+        prev = _read_fingerprint(spark, args.workdir)
+        if resume and prev is not None and prev != fp:
+            diff = {
+                k: (prev.get(k), fp[k]) for k in fp if prev.get(k) != fp[k]
+            }
+            raise SystemExit(
+                "corpus_pipeline_job: --workdir holds stage snapshots built "
+                f"under DIFFERENT options/input ({diff}); resuming would mix "
+                "corpora. Pass --no-resume or use a new --workdir."
             )
-        except Exception:  # noqa: BLE001 — nothing snapshotted yet
-            meta = None
-        if not (isinstance(meta, dict) and "docs_in" in meta):
-            meta = None  # incomplete marker or unreadable — no certificate
+        if resume and prev == fp:
+            # stage_counts is written LAST of the three snapshots, so a
+            # COMPLETE counts dict certifies exact_ids + pairs. CC and the
+            # final anti-join/sample/pack re-run from the snapshots (cheap
+            # relative to the band join the snapshots hold).
+            try:
+                meta = json.loads(
+                    spark.read.parquet(snap("stage_counts")).collect()[0]["m"]
+                )
+            except Exception:  # noqa: BLE001 — nothing snapshotted yet
+                meta = None
+            if not (isinstance(meta, dict) and "docs_in" in meta):
+                meta = None  # incomplete marker — no certificate
+        if meta is None:
+            spark.createDataFrame(
+                [(json.dumps({"_incomplete": True}),)], "m string"
+            ).write.mode("overwrite").parquet(snap("stage_counts"))
+            _record_fingerprint(spark, args.workdir, fp)
+
     if meta is not None:
         _finish(
             spark, args, t0,
@@ -212,17 +254,6 @@ def main(argv: list[str]) -> None:
         )
         return
 
-    if snap:
-        # INVALIDATE any stale certificate before fresh compute begins: a
-        # fresh run that crashes mid-way must not leave a prior run's
-        # stage_counts "certifying" snapshots the new fingerprint no longer
-        # describes (the fingerprint records at startup, so without this a
-        # crashed --no-resume run followed by a default resume would mix
-        # corpora silently).
-        spark.createDataFrame(
-            [(json.dumps({"_incomplete": True}),)], "m string"
-        ).write.mode("overwrite").parquet(snap("stage_counts"))
-
     docs = spark.read.parquet(args.documents)
 
     # Stages 1+2 fold into one scan: every signal is a Column expression, so
@@ -232,19 +263,13 @@ def main(argv: list[str]) -> None:
     # sums of flag casts — never by materializing the text-bearing corpus
     # (an eager localCheckpoint here would copy the whole input to
     # executor-local storage and be non-replayable on executor loss).
-    qc = quality_cols()
     lc = lang_cols()
     keep_langs = [s.strip() for s in args.langs.split(",") if s.strip()]
-    quality_ok = (F.length("text") >= args.min_chars) & (
-        qc["uniq_ratio"] >= args.min_uniq_ratio
+    # one shared gate definition with the streaming ingest twin
+    # (analytics.admission_quality_col) — parity is structural
+    quality_ok = admission_quality_col(
+        args.min_chars, args.min_uniq_ratio, args.max_dup_bigram_ratio
     )
-    if args.max_dup_bigram_ratio is not None:
-        # Gopher-style repetition gate — another Column in the SAME scan
-        from geojson_vt_spark.analytics import repetition_cols
-
-        quality_ok = quality_ok & (
-            repetition_cols()["dup_bigram_ratio"] <= args.max_dup_bigram_ratio
-        )
     flagged = docs.select(
         "doc_id",
         "source",
@@ -259,7 +284,11 @@ def main(argv: list[str]) -> None:
         F.sum(F.col("_q_ok").cast("long")).alias("n_quality"),
         F.sum(keep_flag.cast("long")).alias("n_lang"),
     ).collect()[0]
-    n_in, n_quality, n_lang = int(counts.n_in), int(counts.n_quality), int(counts.n_lang)
+    # F.sum over zero rows is NULL: the `or 0` keeps an empty input corpus
+    # a valid (all-zero) run instead of a TypeError
+    n_in = int(counts.n_in or 0)
+    n_quality = int(counts.n_quality or 0)
+    n_lang = int(counts.n_lang or 0)
     # survivors re-derive lazily from the parquet scan (filter pushdown),
     # so the dedup stage reads only survivors — no corpus checkpoint
     survivors = flagged.where(keep_flag)

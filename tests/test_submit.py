@@ -585,3 +585,43 @@ def test_spark_submit_pipeline_global_dedup_scope(spark, tmp_path):
     assert m_glob["docs_out"] == 8     # 101 collapses onto 0
     kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out-glob")).collect()}
     assert kept == set(range(8))
+
+
+def test_pipeline_fingerprint_content_marker(spark, tmp_path):
+    """The workdir fingerprint must change when the input is refreshed
+    IN PLACE with identical filenames (pyarrow-style deterministic names),
+    and must fail with a clean SystemExit when the input is unreadable."""
+    import importlib.util
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline_job", os.path.join(REPO, "jobs", "corpus_pipeline_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "source": ["a", "a"], "text": ["x", "y"]}),
+        docs_path,
+    )
+    args = mod.parse_args(["--documents", docs_path, "--output", "unused"])
+    fp1 = mod._compute_fingerprint(spark, args)
+
+    import time
+
+    time.sleep(1.1)  # ensure a distinct mtime second on coarse filesystems
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "source": ["a", "a"], "text": ["x", "Z"]}),
+        docs_path,  # same path, same single filename
+    )
+    fp2 = mod._compute_fingerprint(spark, args)
+    assert fp1 != fp2  # content marker caught the in-place refresh
+
+    args_bad = mod.parse_args(
+        ["--documents", str(tmp_path / "missing.parquet"), "--output", "u"]
+    )
+    with pytest.raises(SystemExit, match="cannot read --documents"):
+        mod._compute_fingerprint(spark, args_bad)
