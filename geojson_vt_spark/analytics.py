@@ -1111,6 +1111,23 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global deterministic top-k over a (vec_id, cos) candidate set WITHOUT
+    a global window: orderBy+limit plans TakeOrderedAndProject (a bounded
+    per-partition heap + driver merge of the k-row heads), so no single task
+    ever sorts the full candidate set — the scale-safe twin of
+    `ROW_NUMBER() OVER (ORDER BY ...) <= k`, same plan `vocab_topk` uses.
+    The rank window then runs over the <=k surviving rows only. Ordering is
+    the ANN family contract (cos desc, vec_id asc — a total order), so the
+    row set and ranks are identical to the windowed formulation the DuckDB
+    oracles replay. Shared by the brute / LSH / IVF / matmul / on-disk
+    variants (the round-4 verdict's one ANN scale-killer, now closed)."""
+    order = [F.col("cos").desc(), F.col("vec_id").asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs a fixed query vector (the scale path is the
     LSH/IVF variant — rows-only checked; this is the exact baseline)."""
@@ -1125,12 +1142,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     na = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     nb = F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     cos = F.round(dot / (na * nb), 6)
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        j.select("vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-    )
+    return ranked_topk(j.select("vec_id", cos.alias("cos")), 10)
 
 
 SQL_ANN_COSINE_TOPK = """

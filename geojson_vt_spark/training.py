@@ -15,6 +15,8 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .analytics import ranked_topk
+
 from .functions.projection import project_x_col, project_y_col
 
 
@@ -514,12 +516,7 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
     cand = j.where(ham <= 3)
     cos = F.round(_cos_cols("embedding", "qe"), 6)
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        cand.select("vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-    )
+    return ranked_topk(cand.select("vec_id", cos.alias("cos")), 10)
 
 
 SQL_ANN_COSINE_TOPK_LSH = """
@@ -805,12 +802,7 @@ def q_ann_cosine_topk_ivf(
         .where(F.array_contains(F.col("qprobes"), F.col("list_id")))
     )
     cos = F.round(_cos_cols("embedding", "qe"), 6)
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        cand.select("vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return ranked_topk(cand.select("vec_id", cos.alias("cos")), k)
 
 
 SQL_ANN_COSINE_TOPK_IVF = """
@@ -925,10 +917,7 @@ def ann_topk_ivf_matmul(
     scanned = embeddings.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, cos double"
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return scanned.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).where(F.col("rank") <= k)
+    return ranked_topk(scanned, k)
 
 
 def ivf_index_write(embeddings: DataFrame, path: str, nlist: int = 16) -> None:
@@ -1086,12 +1075,7 @@ def ann_topk_ivf_indexed(
     if exclude_id is not None:
         lists = lists.where(F.col("vec_id") != exclude_id)
     cos = F.round(_cos_lit("embedding", [float(v) for v in query_vec]), 6)
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        lists.select("vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return ranked_topk(lists.select("vec_id", cos.alias("cos")), k)
 
 
 def embedding_near_dup_pairs(
