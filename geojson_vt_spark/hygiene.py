@@ -484,6 +484,63 @@ FROM planted
 PACK_BUDGET = 256  # tokens per training sequence in the driver query
 
 
+def _sharded_binned(
+    base: DataFrame,
+    budget: int,
+    id_col: str,
+    part_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Two-level (sharded) bin assignment: exact same bins as the global
+    per-source window, computed WITHOUT ever serializing a whole source
+    through one task.
+
+    Level 1 — shard: `repartitionByRange(n_shards, part_col, id_col)` cuts
+    every source into order-contiguous doc_id runs (`shard` is the range
+    partition id, read inside the post-exchange stage). The running sum
+    within each (shard, source) run is a window over at most one shard of
+    rows — distributed across tasks.
+
+    Level 2 — offset: the per-(shard, source) token totals are a tiny table
+    (<= n_shards + n_sources rows, since shards are contiguous); a cumsum
+    over it per source gives each run's global prefix offset, broadcast
+    back. `offset + local_prefix` reconstructs the exact global per-source
+    prefix sum for ANY contiguous sharding, so bins are identical to the
+    single-window engine regardless of where the sampled range boundaries
+    land (equality-tested in tests/test_hygiene.py)."""
+    sharded = base.repartitionByRange(
+        n_shards, F.col(part_col).asc(), F.col(id_col).asc()
+    ).withColumn("shard", F.spark_partition_id())
+    wl = (
+        Window.partitionBy("shard", part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("local_prefix", F.sum("n_tokens").over(wl))
+    totals = sharded.groupBy("shard", part_col).agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    wo = (
+        Window.partitionBy(part_col)
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "shard",
+        part_col,
+        F.coalesce(F.sum("shard_tokens").over(wo), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+    )
+    return local.join(F.broadcast(offsets), ["shard", part_col]).withColumn(
+        "bin",
+        F.floor(
+            (F.col("offset") + F.col("local_prefix") - F.col("n_tokens"))
+            / budget
+        ),
+    )
+
+
 def sequence_pack(
     docs: DataFrame,
     budget: int = PACK_BUDGET,
@@ -491,15 +548,25 @@ def sequence_pack(
     id_col: str = "doc_id",
     part_col: str = "source",
     n_tokens_col: str | None = None,
+    engine: str = "sharded",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Pack documents into fixed token-budget training sequences by
     concatenation order (the standard pretraining packing: documents are
     concatenated per source in doc_id order and chunked every `budget`
     tokens; a document belongs to the bin its first token lands in).
 
-    One shuffle (the window partition on `part_col`); each source packs
-    independently. Returns per-bin rows: (source, bin, n_docs, n_tokens,
-    first_doc, last_doc).
+    Engines (identical bins, equality-tested):
+    - "sharded" (default, the 100 TB path): two-level packing via
+      `_sharded_binned` — a 10 TB source packs across n_shards tasks
+      instead of serializing through one window partition. One range
+      exchange + one hash exchange on the corpus, plus a broadcast of the
+      tiny per-shard offset table.
+    - "window": the single global window per source (one shuffle, but one
+      task per source — fine when every source is bounded).
+
+    Returns per-bin rows: (source, bin, n_docs, n_tokens, first_doc,
+    last_doc).
 
     Pass `n_tokens_col` to pack on a precomputed token count (pipelines
     that already dropped the text column, e.g. corpus_pipeline_job's
@@ -510,17 +577,25 @@ def sequence_pack(
         if n_tokens_col
         else F.size(F.split(F.col(text_col), " ")).cast("long")
     )
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    binned = docs.select(
-        part_col, id_col, n_tok.alias("n_tokens")
-    ).withColumn(
-        "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
-    )
+    base = docs.select(part_col, id_col, n_tok.alias("n_tokens"))
+    if engine == "window":
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        binned = base.withColumn(
+            "bin",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+        )
+    elif engine == "sharded":
+        if n_shards is None:
+            n_shards = int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        binned = _sharded_binned(base, budget, id_col, part_col, n_shards)
+    else:
+        raise ValueError(f"unknown sequence_pack engine: {engine!r}")
     return binned.groupBy(part_col, "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),

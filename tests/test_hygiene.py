@@ -279,14 +279,82 @@ def test_sequence_pack_sources_independent(spark):
     assert got == {("s1", 0), ("s2", 0)}
 
 
-def test_sequence_pack_single_window_shuffle(spark):
-    """Scale gate: one Exchange for the source window feeding the partial
-    agg; no join anywhere."""
+def test_sequence_pack_sharded_plan_shape(spark):
+    """Scale gate (round-5): the default two-level engine range-partitions
+    the corpus (no per-source single-task window), joins the tiny offset
+    table by BROADCAST only, and never plans a corpus-shuffle join or
+    cartesian."""
     from geojson_vt_spark.hygiene import q_sequence_pack
 
     plan = q_sequence_pack(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_window_engine_no_join(spark):
+    """The bounded-source window engine keeps its original shape: one
+    Exchange for the source window, no join anywhere."""
+    from geojson_vt_spark.hygiene import _docs, sequence_pack
+
+    df = sequence_pack(_docs(spark, SF), engine="window")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_engines_equal(spark):
+    """Exact bin equality between the global-window and two-level sharded
+    engines on the real documents table, across shard counts (including
+    shard counts that cut sources mid-run)."""
+    from geojson_vt_spark.hygiene import _docs, sequence_pack
+
+    docs = _docs(spark, SF)
+    want = sorted(
+        tuple(r) for r in sequence_pack(docs, engine="window").collect()
+    )
+    for n_shards in (1, 3, 16):
+        got = sorted(
+            tuple(r)
+            for r in sequence_pack(
+                docs, engine="sharded", n_shards=n_shards
+            ).collect()
+        )
+        assert got == want, n_shards
+
+
+def test_sequence_pack_giant_source_multi_task(spark):
+    """The r4 verdict's mega-source hazard: ONE source must pack across
+    many tasks. Plant a single 4000-doc source, shard it 8 ways, and
+    assert (a) the shard level actually spread the source over >1 range
+    partition and (b) bins equal the single-window engine exactly."""
+    from geojson_vt_spark.hygiene import _sharded_binned, sequence_pack
+
+    df = spark.createDataFrame(
+        [("s0", f"d{i:06d}", " ".join("w" for _ in range(i % 37 + 1)))
+         for i in range(4000)],
+        ["source", "doc_id", "text"],
+    )
+    base = df.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    n_used = (
+        _sharded_binned(base, 256, "doc_id", "source", 8)
+        .select("shard").distinct().count()
+    )
+    assert n_used > 1, "giant source still serialized through one shard"
+    want = sorted(
+        tuple(r) for r in sequence_pack(df, engine="window").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sequence_pack(df, engine="sharded", n_shards=8).collect()
+    )
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
