@@ -84,6 +84,17 @@ def _head_fuse_max() -> int:
     return int(os.environ.get("SPARK_GRAFT_HEAD_FUSE", "3"))
 
 
+def _one_shot_max_points() -> int:
+    """Small-corpus one-shot gate: when the root tile's total vertex count
+    is at most this, the whole pyramid runs as ONE applyInPandas subtree
+    group (zero per-level crossings — the per-level fixed Spark overhead is
+    18-27x the reference's wall-clock at the 10k bench point, BASELINE.md
+    crossover table). Bounded by construction: the one task does at most
+    this many points; bigger corpora take the distributed level loop.
+    0 disables."""
+    return int(os.environ.get("SPARK_GRAFT_ONE_SHOT_MAX_POINTS", "200000"))
+
+
 def _stop_rule(z, x, y, num_points, options: Options, target) -> bool:
     """tile-index.ts:177-188: index cutoff, or drill-down target/ancestor
     pruning."""
@@ -545,12 +556,20 @@ def _unified_schema():
 UNIFIED_SCHEMA = _unified_schema()
 
 
-def _subtree_fn(options: Options, target):
+def _subtree_fn(options: Options, target, emit_root: bool = False):
     """applyInPandas kernel: all feature rows of ONE splitting tile -> the
     tile's entire sub-pyramid (reference splitTile semantics,
     tile-index.ts:138-228), processed as a batched BFS: each subtree level
     assembles + 4-way-clips EVERY tile of the level at once with the
-    flat-array kernels (functions/flat.py) — no per-vertex Python."""
+    flat-array kernels (functions/flat.py) — no per-vertex Python.
+
+    emit_root=False (loop mode): the caller's level crossing already
+    assembled the root tile and wrote its registry row, so the kernel
+    splits the root silently and starts emitting at the children.
+    emit_root=True (one-shot small-corpus mode): the kernel owns the WHOLE
+    pyramid — the root goes through the same generic assemble/registry/
+    stop path as every deeper level, so build_pyramid can route a small
+    corpus through one applyInPandas group with zero per-level crossings."""
     ucols = [f.name for f in UNIFIED_SCHEMA.fields]
 
     def _obj_array(seq) -> np.ndarray:
@@ -625,6 +644,13 @@ def _subtree_fn(options: Options, target):
         frames: list = []  # (column dict, n_rows) emission batches
         expected: list = []
         is_root = True
+        if emit_root:
+            # one-shot mode: treat the root as an expected tile so the
+            # generic level code below assembles it, writes its registry
+            # row, and applies the stop rule — identical per-tile math to
+            # the per-level loop it replaces
+            expected = [(z0, x0, y0)]
+            is_root = False
 
         while True:
             fl, z, x, y, okeys, ids, tags = state
@@ -802,6 +828,9 @@ class PyramidStore:
         self.sources: list[DataFrame] = []
         # head-fusion audit: [(level, extra_levels_fused)] per build pass
         self.head_fused: list = []
+        # one-shot audit: True when a build pass ran the whole pyramid
+        # through the single applyInPandas subtree kernel (small corpora)
+        self.one_shot: bool = False
 
     def tiles_df(self) -> DataFrame:
         return self._union(self.tiles, TILE_FEATURE_SCHEMA)
@@ -1007,7 +1036,24 @@ def build_pyramid(
         "rlens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
     )
 
-    frontier = _checkpoint(frontier, workdir, f"frontier/z={z0:02d}", resume)
+    already_rdd = False
+    if workdir is None:
+        # callers that hand us an eagerly-materialized frontier (bench,
+        # drill-down re-entry over cached sources) gain nothing from a
+        # second localCheckpoint pass — skip it
+        try:
+            already_rdd = (
+                frontier._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+                .startswith("LogicalRDD")
+            )
+        except Exception:  # noqa: BLE001 — conservative: checkpoint
+            already_rdd = False
+    if not already_rdd:
+        frontier = _checkpoint(
+            frontier, workdir, f"frontier/z={z0:02d}", resume
+        )
 
     while True:
         t0 = time.time()
@@ -1069,6 +1115,65 @@ def build_pyramid(
                 skel_rows.append(
                     (key[0], key[1], key[2], nf, npts, bool(stopped and nf > 0))
                 )
+            # ---- one-shot small-corpus mode: a single splitting root whose
+            # total vertex count fits one task's budget runs the WHOLE
+            # pyramid through the subtree kernel (emit_root=True) — no
+            # per-level crossings, no per-level checkpoints; the kernel's
+            # per-tile math is identical to the loop (equality-tested) ----
+            if (
+                z == z0
+                and target is None
+                and len(expected_keys) == 1
+                and split_list == expected_keys
+                and got.get(split_list[0]) is not None
+                and 0
+                < got[split_list[0]].num_points
+                <= _one_shot_max_points()
+            ):
+                if spec_proof is not None:
+                    # cancel WITHOUT blocking: the fused-path proof is dead
+                    # weight here and the kernel job only needs one slot
+                    import threading
+
+                    threading.Thread(target=spec_cancel, daemon=True).start()
+                    spec_proof = None
+                # coalesce(1) + mapInPandas: narrow read of the checkpointed
+                # frontier blocks straight into the one task — no shuffle
+                # exchange for a single-group applyInPandas
+                sub_kernel = _subtree_fn(options, None, emit_root=True)
+
+                def _one_shot_fn(batches):
+                    pdfs = [p for p in batches if len(p)]
+                    if not pdfs:
+                        return
+                    pdf = (
+                        pd.concat(pdfs, ignore_index=True)
+                        if len(pdfs) > 1
+                        else pdfs[0]
+                    )
+                    yield sub_kernel(pdf)
+
+                unified_os = frontier.coalesce(1).mapInPandas(
+                    _one_shot_fn, UNIFIED_SCHEMA
+                )
+                unified_os = _checkpoint(
+                    unified_os, workdir, f"oneshot/z={z0:02d}", resume
+                )
+                store.tiles.append(
+                    unified_os.filter(F.col("kind") == 1).select(*tile_cols)
+                )
+                store.sources.append(
+                    unified_os.filter(F.col("kind") == 2).select(*feat_cols)
+                )
+                store.registry.append(
+                    unified_os.filter(F.col("kind") == 3).select(
+                        *[f.name for f in REGISTRY_SCHEMA.fields]
+                    )
+                )
+                store.one_shot = True
+                _tick("one-shot subtree (whole pyramid)", t0)
+                return store
+
             skel = spark.createDataFrame(
                 skel_rows,
                 "z int, x int, y int, num_features long, num_points long, has_source boolean",

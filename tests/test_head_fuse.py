@@ -23,6 +23,10 @@ def rects(spark):
 
 
 def _run(feats, options, fuse):
+    # head fusion is the machinery under test: force the per-level loop
+    # (one-shot mode would otherwise swallow these small corpora whole)
+    old_os = os.environ.get("SPARK_GRAFT_ONE_SHOT_MAX_POINTS")
+    os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = "0"
     old = os.environ.get("SPARK_GRAFT_HEAD_FUSE")
     os.environ["SPARK_GRAFT_HEAD_FUSE"] = str(fuse)
     try:
@@ -41,6 +45,10 @@ def _run(feats, options, fuse):
             os.environ.pop("SPARK_GRAFT_HEAD_FUSE", None)
         else:
             os.environ["SPARK_GRAFT_HEAD_FUSE"] = old
+        if old_os is None:
+            os.environ.pop("SPARK_GRAFT_ONE_SHOT_MAX_POINTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = old_os
 
 
 def test_fused_equals_unfused_and_engages(rects):
@@ -83,11 +91,12 @@ def test_fusion_respects_index_max_zoom(rects):
     assert reg0 == reg3 and tiles0 == tiles3
 
 
-def test_fusion_resume_is_deterministic(rects, tmp_path):
+def test_fusion_resume_is_deterministic(rects, tmp_path, monkeypatch):
     """A killed-and-resubmitted fused build must take the same fusion
     decisions and reuse the per-pass snapshots (names include only the
     pass's start level, so determinism of the proof is what keeps resume
     aligned)."""
+    monkeypatch.setenv("SPARK_GRAFT_ONE_SHOT_MAX_POINTS", "0")
     feats, options = rects
     wd = str(tmp_path / "wd")
     s1 = build_pyramid(feats, options, workdir=wd, resume=True)

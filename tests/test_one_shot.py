@@ -1,0 +1,128 @@
+"""One-shot small-corpus pyramid mode (plans/pyramid.py): when the single
+z0 root splits and its vertex total fits SPARK_GRAFT_ONE_SHOT_MAX_POINTS,
+the whole pyramid runs as ONE applyInPandas subtree group
+(_subtree_fn(emit_root=True)) — zero per-level crossings. The mode must be
+row-identical to the per-level loop across all three outputs (registry,
+tiles, sources), engage/stand down exactly on the gate, and resume from
+its snapshot."""
+
+import os
+
+import pytest
+
+import bench
+from geojson_vt_spark.config import Options
+from geojson_vt_spark.plans.pyramid import build_pyramid
+
+
+@pytest.fixture(scope="module")
+def rects(spark):
+    options = Options(max_zoom=14, index_max_zoom=14, index_max_points=128)
+    feats = bench.synth_rect_features(spark, 3000, options).localCheckpoint(
+        eager=True
+    )
+    return feats, options
+
+
+def _collect(store):
+    reg = sorted(tuple(r) for r in store.registry_df().collect())
+    tiles = sorted(
+        (
+            r.z, r.x, r.y, tuple(r.okey), r.tf_type, r.tf_id,
+            r.tf_tags, r.tf_geom, r.npoints, r.nsimplified,
+        )
+        for r in store.tiles_df().collect()
+    )
+    src = sorted(
+        (r.z, r.x, r.y, tuple(r.okey), r.id, r.ftype, tuple(r.coords))
+        for r in store.sources_df().collect()
+    )
+    return reg, tiles, src
+
+
+def _run(feats, options, cap, **kw):
+    old = os.environ.get("SPARK_GRAFT_ONE_SHOT_MAX_POINTS")
+    os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = str(cap)
+    try:
+        return build_pyramid(feats, options, **kw)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_ONE_SHOT_MAX_POINTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = old
+
+
+def test_one_shot_equals_loop_full_rows(rects):
+    """Registry, tile, and retained-source row sets are IDENTICAL between
+    the one-shot kernel and the per-level loop (head fusion + subtree
+    routing included) — the strongest engine check after golden parity."""
+    feats, options = rects
+    s_loop = _run(feats, options, 0)
+    s_os = _run(feats, options, 200_000)
+    assert not s_loop.one_shot
+    assert s_os.one_shot
+    loop_out = _collect(s_loop)
+    os_out = _collect(s_os)
+    assert loop_out[0] == os_out[0]  # registry
+    assert loop_out[1] == os_out[1]  # tiles
+    assert loop_out[2] == os_out[2]  # sources
+    assert len(loop_out[1]) > 1000  # non-vacuous corpus
+
+
+def test_one_shot_stands_down_above_cap(rects):
+    """A corpus whose root exceeds the cap must take the distributed loop —
+    the one task's work is bounded by construction."""
+    feats, options = rects
+    s = _run(feats, options, 10)
+    assert not s.one_shot
+
+
+def test_one_shot_stands_down_when_root_stops(spark):
+    """A root the stop rule retains never enters one-shot mode (the level
+    loop finishes it in a single crossing anyway)."""
+    options = Options(max_zoom=14, index_max_zoom=5, index_max_points=100_000)
+    feats = bench.synth_rect_features(spark, 50, options).localCheckpoint(
+        eager=True
+    )
+    s = _run(feats, options, 200_000)
+    assert not s.one_shot
+    assert s.registry_df().count() == 1  # just the stopped root
+
+
+def test_one_shot_resume_reuses_snapshot(rects, tmp_path):
+    """Killed-and-resubmitted one-shot build reuses the oneshot/z=00
+    snapshot and returns identical rows."""
+    feats, options = rects
+    wd = str(tmp_path / "wd")
+    s1 = _run(feats, options, 200_000, workdir=wd, resume=True)
+    assert s1.one_shot
+    reg1 = sorted(tuple(r) for r in s1.registry_df().collect())
+    assert os.path.isdir(os.path.join(wd, "oneshot"))
+    s2 = _run(feats, options, 200_000, workdir=wd, resume=True)
+    assert s2.one_shot
+    reg2 = sorted(tuple(r) for r in s2.registry_df().collect())
+    assert reg1 == reg2
+
+
+def test_one_shot_drill_down_serves_from_retained_sources(spark):
+    """getTile below the indexed zoom must drill down correctly from a
+    one-shot first pass (sources retained by the kernel's stop rule)."""
+    from geojson_vt_spark.operators.engine import GeoJSONVTSpark
+
+    from .conftest import load_fixture
+
+    old = os.environ.get("SPARK_GRAFT_ONE_SHOT_MAX_POINTS")
+    os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = "200000"
+    try:
+        eng = GeoJSONVTSpark(
+            spark,
+            data=load_fixture("us-states.json"),
+            options=Options(index_max_zoom=4, index_max_points=64),
+        )
+        t = eng.get_tile(9, 148, 192)  # below indexed depth: drill-down path
+        assert t is not None and len(t) > 0
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_ONE_SHOT_MAX_POINTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = old
