@@ -92,7 +92,12 @@ def contamination_hits(
     sharing at least one n-gram shingle with the eval set — ONE corpus scan
     (shingle explode) against a broadcast eval shingle table. Pipelines that
     just need the drop-list use this directly; `decontaminate` adds the
-    all-docs audit frame (a second corpus scan)."""
+    all-docs audit frame (a second corpus scan).
+
+    The RESULT's size is bounded by the contaminated-doc count, not the
+    eval-set size; consumers that broadcast it (decontaminate's default
+    join-back, the pipeline's anti-join) inherit that bound — see
+    decontaminate's hits_join knob for the mass-contamination fallback."""
     eval_shingles = (
         eval_docs.select(
             F.explode(ngram_shingles(F.col(text_col), n, hash_fn)).alias(
@@ -121,15 +126,28 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = DECONTAM_NGRAM,
     hash_fn: str = "xxhash64",
+    hits_join: str = "broadcast",
 ) -> DataFrame:
     """Flag corpus documents sharing any n-gram shingle with the eval set.
 
     Returns one row per corpus doc: (doc_id, n_hits = distinct shared
-    shingles, contaminated). The eval shingle table and the per-doc hit
-    counts are both broadcast — the corpus itself never shuffles.
-    """
+    shingles, contaminated). The eval shingle table is always broadcast.
+
+    SIZE BOUND (ADVICE r4): the hit table joined back here is bounded by
+    the number of CONTAMINATED CORPUS DOCS — not by the eval-set size. A
+    clean-ish corpus keeps it tiny, but a boilerplate string shared
+    between one eval doc and millions of corpus docs makes the broadcast
+    (and the pipeline's contaminated-id set) the failure point. For
+    corpora where mass contamination is plausible, pass
+    hits_join="shuffle": the join back runs as a plain equi-join on
+    doc_id (one corpus-id shuffle, no driver-size dependency) with
+    identical rows."""
     hits = contamination_hits(corpus, eval_docs, text_col, id_col, n, hash_fn)
-    return corpus.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+    if hits_join == "broadcast":
+        hits = F.broadcast(hits)
+    elif hits_join != "shuffle":
+        raise ValueError(f"decontaminate: unknown hits_join {hits_join!r}")
+    return corpus.select(id_col).join(hits, id_col, "left").select(
         id_col,
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),

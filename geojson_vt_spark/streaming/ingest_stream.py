@@ -106,11 +106,98 @@ def admit_batch(
     return admitted, stage
 
 
+def _run_ingest(
+    spark: SparkSession,
+    stream_dir: str,
+    each,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None,
+):
+    stream = stream_documents(
+        spark, stream_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    q = (
+        stream.writeStream.foreachBatch(each)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_ingest_to_parquet(
+    spark: SparkSession,
+    stream_dir: str,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    min_chars: int = 100,
+    min_uniq_ratio: float = 0.0,
+    max_dup_bigram_ratio: float | None = None,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    max_files_per_trigger: int | None = None,
+):
+    """PRODUCTION sink for the admission gate: drain the directory with
+    availableNow and land each micro-batch's admitted rows under
+    `out_dir/ingest_batch=<id>/`. Idempotence is per batch id: a crashed-
+    then-redelivered micro-batch OVERWRITES its own batch directory (the
+    standard foreachBatch exactly-once recipe), so at-least-once delivery
+    never double-appends. The durable checkpoint defaults beside the
+    output (`out_dir + "_ckpt"`) — sink and progress log travel together,
+    so a resumed job skips exactly the files whose rows are already on
+    disk. Pair a FRESH checkpoint only with a fresh out_dir: batch ids
+    restart at 0 under a new checkpoint and would interleave with stale
+    batch directories.
+
+    Per-batch metrics land in `out_dir + "_metrics"` the same
+    batch-id-overwrite way (one row per micro-batch: batch_id, docs_in,
+    quality_passed, lang_passed, admitted — the per-batch lineage counts
+    the batch job prints as PIPELINE_METRICS) and are also returned as a
+    list. Read the corpus back with
+    `spark.read.parquet(out_dir)` (ingest_batch becomes a partition
+    column)."""
+    metrics: list[dict] = []
+    mdir = out_dir.rstrip("/") + "_metrics"
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        admitted, stage = admit_batch(
+            batch_df, eval_docs, min_chars=min_chars,
+            min_uniq_ratio=min_uniq_ratio,
+            max_dup_bigram_ratio=max_dup_bigram_ratio, langs=langs,
+        )
+        bid = int(batch_id)
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir.rstrip('/')}/ingest_batch={bid}"
+        )
+        n_admitted = (
+            spark.read.parquet(f"{out_dir.rstrip('/')}/ingest_batch={bid}")
+            .count()
+        )
+        row = {"batch_id": bid, **stage, "admitted": int(n_admitted)}
+        metrics.append(row)
+        spark.createDataFrame(
+            [row],
+            "batch_id long, docs_in long, quality_passed long, "
+            "lang_passed long, admitted long",
+        ).write.mode("overwrite").parquet(f"{mdir}/ingest_batch={bid}")
+
+    q = _run_ingest(
+        spark,
+        stream_dir,
+        _each,
+        checkpoint_dir or out_dir.rstrip("/") + "_ckpt",
+        max_files_per_trigger,
+    )
+    return q, metrics
+
+
 def run_ingest_to_memory(
     spark: SparkSession,
     stream_dir: str,
     eval_docs: DataFrame,
     table: str = "t_admitted",
+    checkpoint_dir: str | None = None,
     min_chars: int = 100,
     min_uniq_ratio: float = 0.0,
     max_dup_bigram_ratio: float | None = None,
@@ -119,14 +206,22 @@ def run_ingest_to_memory(
 ):
     """Drain the directory with availableNow through the admission gate
     into a global temp view `table`; returns (query, metrics list) after
-    the drain completes. Test/demo sink — a production run points
-    foreachBatch at parquet/Iceberg appends instead."""
+    the drain completes. Test/demo sink — production runs use
+    `run_ingest_to_parquet`.
+
+    The driver-side list sink is ephemeral, so the checkpoint defaults to
+    a FRESH per-invocation temp directory: reusing a durable checkpoint
+    with an ephemeral sink would silently skip already-committed files and
+    return a partial table in a new process. Pass `checkpoint_dir` only to
+    deliberately continue one logical drain within a process."""
+    import tempfile
+
     admitted_rows: list = []
     metrics: list[dict] = []
 
     # memory sink via collected appends: foreachBatch owns the write, so
     # the admitted frame of each micro-batch lands in one driver list (test
-    # scale); swap this body for df.write.mode('append') in production
+    # scale); run_ingest_to_parquet is the durable twin
     def _each(batch_df: DataFrame, batch_id: int) -> None:
         admitted, stage = admit_batch(
             batch_df, eval_docs, min_chars=min_chars,
@@ -139,18 +234,13 @@ def run_ingest_to_memory(
             {"batch_id": int(batch_id), **stage, "admitted": len(rows)}
         )
 
-    stream = stream_documents(
-        spark, stream_dir, max_files_per_trigger=max_files_per_trigger
+    q = _run_ingest(
+        spark,
+        stream_dir,
+        _each,
+        checkpoint_dir or tempfile.mkdtemp(prefix="ingest_ckpt_"),
+        max_files_per_trigger,
     )
-    q = (
-        stream.writeStream.foreachBatch(_each)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", stream_dir.rstrip("/") + "_ingest_ckpt"
-        )
-        .start()
-    )
-    q.awaitTermination()
     out = spark.createDataFrame(
         admitted_rows or [], "doc_id long, source string, text string"
     )

@@ -1343,6 +1343,7 @@ def sessionize_events(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     order_tiebreak: str = "event_id",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based sessionization: per entity, a new session starts when the
     inactivity gap to the previous event exceeds `gap_us` microseconds;
@@ -1358,14 +1359,21 @@ def sessionize_events(
     diff against an NTZ epoch literal, NOT unix_micros (which would force
     a cast through the session time zone and desync from DuckDB's
     zone-less epoch_us).
+
+    `value_col` names the column summed into total_value; pass None (or a
+    column absent from the frame — auto-detected) to omit total_value for
+    event tables that carry no value measure.
     """
+    if value_col is not None and value_col not in events.columns:
+        value_col = None
     us = F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
         f" {ts_col})"
     )
-    base = events.select(
-        entity_col, F.col(order_tiebreak), us.alias("_us"), "value"
-    )
+    cols = [entity_col, F.col(order_tiebreak), us.alias("_us")]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("_val"))
+    base = events.select(*cols)
     w = Window.partitionBy(entity_col).orderBy(
         F.col("_us").asc(), F.col(order_tiebreak).asc()
     )
@@ -1374,15 +1382,17 @@ def sessionize_events(
     sess = F.sum(new_s).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum("_val"), 9).alias("total_value"))
     return (
         base.withColumn("session_id", sess)
         .groupBy(entity_col, "session_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min("_us").alias("start_us"),
-            F.max("_us").alias("end_us"),
-            F.round(F.sum("value"), 9).alias("total_value"),
-        )
+        .agg(*aggs)
     )
 
 

@@ -140,24 +140,34 @@ def _compute_fingerprint(spark, args) -> dict:
     import json as _json  # noqa: F401 — parity with caller's json use
 
     fp = {k: getattr(args, k.replace("-", "_")) for k in _FP_ARGS}
-    try:
-        files = sorted(spark.read.parquet(args.documents).inputFiles())
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        entries = []
-        for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            st = p.getFileSystem(conf).getFileStatus(p)
-            entries.append(f"{f}\t{st.getLen()}\t{st.getModificationTime()}")
-    except SystemExit:
-        raise
-    except Exception as e:  # noqa: BLE001
-        raise SystemExit(
-            "corpus_pipeline_job: cannot read --documents "
-            f"({args.documents}: {type(e).__name__}) — the workdir "
-            "fingerprint cannot be verified, so neither a fresh run nor a "
-            "resume can proceed."
-        )
+
+    def _file_entries(path: str, flag: str) -> list:
+        try:
+            files = sorted(spark.read.parquet(path).inputFiles())
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            entries = []
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                st = p.getFileSystem(conf).getFileStatus(p)
+                entries.append(
+                    f"{f}\t{st.getLen()}\t{st.getModificationTime()}"
+                )
+            return entries
+        except Exception as e:  # noqa: BLE001
+            raise SystemExit(
+                f"corpus_pipeline_job: cannot read {flag} "
+                f"({path}: {type(e).__name__}) — the workdir "
+                "fingerprint cannot be verified, so neither a fresh run "
+                "nor a resume can proceed."
+            )
+
+    entries = _file_entries(args.documents, "--documents")
+    if args.decontam_eval:
+        # the eval set shapes the exact_ids/pairs snapshots too: an
+        # in-place refresh (same path, pyarrow's deterministic filenames)
+        # must invalidate a resume the same way a --documents refresh does
+        entries += _file_entries(args.decontam_eval, "--decontam-eval")
     fp["_input_files"] = hashlib.md5("\n".join(entries).encode()).hexdigest()
     return fp
 

@@ -614,3 +614,112 @@ def test_ingest_gate_quality_knobs(spark):
         df, evals, min_chars=10, max_dup_bigram_ratio=0.5, langs=("en",)
     )
     assert {r.doc_id for r in adm2.collect()} == {1}
+
+
+def test_streaming_ingest_parquet_sink_idempotent(spark, tmp_path):
+    """run_ingest_to_parquet (the production sink): multi-micro-batch drain
+    lands per-batch directories; admitted set equals the batch twin read
+    BACK FROM DISK; a re-drain over the same checkpoint adds nothing; a
+    newly-arrived file lands as a new batch without touching old ones."""
+    import os
+    import time
+
+    from geojson_vt_spark.streaming.ingest_stream import (
+        admit_batch,
+        run_ingest_to_parquet,
+    )
+
+    filler = lambda d: " ".join(f"w{d}x{j}" for j in range(12))  # noqa: E731
+    good = [(d, "web", f"the quick {filler(d)} and more") for d in range(10)]
+    evals = spark.createDataFrame(
+        [(9000, " ".join(f"evaltok{j}" for j in range(8)))],
+        ["doc_id", "text"],
+    )
+
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+
+    def land(rows, name, mtime):
+        p = tmp_path / "stage" / name
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "CAST(NULL AS STRING) AS lang", "source",
+            "CAST(length(text) AS LONG) AS n_chars",
+        ).coalesce(1).write.mode("overwrite").parquet(str(p))
+        for f in p.glob("*.parquet"):
+            tgt = flat / f"{name}.parquet"
+            f.rename(tgt)
+            os.utime(tgt, (mtime, mtime))
+
+    now = time.time()
+    land(good[:4], "f0", now)
+    land(good[4:8], "f1", now + 1)
+
+    out = str(tmp_path / "admitted")
+    _, m1 = run_ingest_to_parquet(
+        spark, str(flat), evals, out,
+        min_chars=30, langs=("en",), max_files_per_trigger=1,
+    )
+    assert len(m1) >= 2  # forced multiple micro-batches
+    disk = spark.read.parquet(out)
+    assert "ingest_batch" in disk.columns
+    got = {r.doc_id for r in disk.collect()}
+
+    batch_admitted, _ = admit_batch(
+        spark.createDataFrame(
+            good[:8], "doc_id long, source string, text string"
+        ),
+        evals, min_chars=30, langs=("en",),
+    )
+    assert got == {r.doc_id for r in batch_admitted.collect()}
+    assert sum(m["admitted"] for m in m1) == len(got)
+    # metrics parquet mirrors the returned list
+    mrows = {
+        r.batch_id: r.admitted
+        for r in spark.read.parquet(out + "_metrics").collect()
+    }
+    assert mrows == {m["batch_id"]: m["admitted"] for m in m1}
+
+    # re-drain, nothing new arrived: committed files skipped, output stable
+    _, m2 = run_ingest_to_parquet(
+        spark, str(flat), evals, out,
+        min_chars=30, langs=("en",), max_files_per_trigger=1,
+    )
+    assert m2 == []
+    assert spark.read.parquet(out).count() == len(got)
+
+    # late arrival: lands as a new batch; old batch dirs untouched
+    land(good[8:], "f2", now + 2)
+    _, m3 = run_ingest_to_parquet(
+        spark, str(flat), evals, out,
+        min_chars=30, langs=("en",), max_files_per_trigger=1,
+    )
+    assert sum(m["admitted"] for m in m3) == 2
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+        d for d, _, _ in good
+    }
+
+
+def test_decontaminate_hits_join_engines_equal(spark):
+    """hits_join='shuffle' (the mass-contamination fallback) returns rows
+    identical to the broadcast default."""
+    from geojson_vt_spark.hygiene import decontaminate
+
+    evals = _mkdocs(spark, [(100, "a b c d e f g h i j")])
+    corpus = _mkdocs(
+        spark,
+        [(1, "x y a b c d e f g h z"), (2, "x y a b c d Q f g h z"),
+         (3, "a b c")],
+    )
+    key = lambda r: (r.doc_id, r.n_hits, r.contaminated)  # noqa: E731
+    bc = sorted(map(key, decontaminate(corpus, evals).collect()))
+    sh = sorted(
+        map(key, decontaminate(corpus, evals, hits_join="shuffle").collect())
+    )
+    assert bc == sh
+    plan = (
+        decontaminate(corpus, evals, hits_join="shuffle")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan

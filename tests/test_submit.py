@@ -625,3 +625,28 @@ def test_pipeline_fingerprint_content_marker(spark, tmp_path):
     )
     with pytest.raises(SystemExit, match="cannot read --documents"):
         mod._compute_fingerprint(spark, args_bad)
+
+    # ADVICE r4: --decontam-eval is part of the dedup snapshots' lineage —
+    # an in-place eval refresh must invalidate the fingerprint too
+    eval_path = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [9], "text": ["eval one"]}), eval_path
+    )
+    args_ev = mod.parse_args(
+        ["--documents", docs_path, "--output", "unused",
+         "--decontam-eval", eval_path]
+    )
+    fp3 = mod._compute_fingerprint(spark, args_ev)
+    assert fp3 != fp2  # eval files extend the marker
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({"doc_id": [9], "text": ["eval TWO"]}), eval_path
+    )
+    fp4 = mod._compute_fingerprint(spark, args_ev)
+    assert fp4 != fp3  # in-place eval refresh caught
+    args_ev_bad = mod.parse_args(
+        ["--documents", docs_path, "--output", "u",
+         "--decontam-eval", str(tmp_path / "missing_eval.parquet")]
+    )
+    with pytest.raises(SystemExit, match="cannot read --decontam-eval"):
+        mod._compute_fingerprint(spark, args_ev_bad)

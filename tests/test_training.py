@@ -905,6 +905,33 @@ def test_sessionize_events_gap_boundary(spark):
     assert got[(2, 1)][0] == 1 and got[(2, 1)][3] == 8.0
 
 
+def test_sessionize_value_col_generic(spark):
+    """ADVICE r4: the operator must not hardcode a 'value' column — a
+    value-less events table sessionizes without total_value, and a custom
+    value_col sums the named measure."""
+    import datetime as dt
+
+    from geojson_vt_spark.training import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, 1, t0), (2, 1, t0 + dt.timedelta(seconds=1))]
+    bare = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    got = sessionize_events(bare, gap_us=2_000_000).collect()
+    assert len(got) == 1 and got[0].n_events == 2
+    assert "total_value" not in got[0].asDict()
+
+    named = spark.createDataFrame(
+        [r + (3.5,) for r in rows],
+        "event_id long, user_id long, ts timestamp_ntz, amount double",
+    )
+    [row] = sessionize_events(
+        named, gap_us=2_000_000, value_col="amount"
+    ).collect()
+    assert row.total_value == 7.0
+
+
 def test_sessionize_single_exchange(spark):
     """Scale gate: the lag window, running sum, and per-session aggregate
     must share ONE hash exchange on the entity (exchange reuse), with no
