@@ -1167,6 +1167,138 @@ SELECT vec_id, cos, rank FROM (
 
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# O12/O13 driver-visible oracle: full pyramid counters over point features
+
+TC_ZMAX = 3           # pyramid depth for the counter oracle
+TC_CAP = 100          # index_max_points: mixed split/stop at small SF
+TC_B = 1.0 / 64       # buffer/extent = 64/4096, the clip margin
+
+
+def q_tile_counters(spark, sf_dir):
+    """Promote O13's registry counters to the oracle surface (r4 verdict
+    item 8): run the REAL pyramid machinery (convert -> wrap -> top-down
+    split -> assembly counters; reference tile-index.ts:138-228 +
+    tile.ts:12-64) over point features derived deterministically from the
+    events table, then return per-zoom sums over the registry.
+
+    Points make every counter exactly SQL-replayable: no simplification
+    (num_simplified == num_points == num_features per tile), membership is
+    the composed buffered clip — px*2^z in [x-b, x+1+b) per axis (the
+    single-point clip rule is half-open via clip_one's trivial
+    accept/reject, functions/clip.py:60-66; ranges nest across levels so
+    the chain equals the direct test) — and antimeridian wrap copies are
+    px<b -> +1, px>=1-b -> -1 (functions/wrap.py). The DuckDB twin replays
+    the whole thing, INCLUDING the stop rule's tile-existence recursion,
+    with a recursive CTE."""
+    from .config import Options
+    from .functions.convert import convert_geojson
+    from .functions.wrap import wrap_features
+    from .model import FEATURE_SCHEMA, feature_to_row
+    from .plans.pyramid import build_pyramid
+    from .training import _event_points
+
+    options = Options(
+        max_zoom=TC_ZMAX, index_max_zoom=TC_ZMAX, index_max_points=TC_CAP
+    )
+    ev = _event_points(_t(spark, sf_dir, "events")).select(
+        "event_id", "lon", "lat"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for eid, lon, lat in zip(
+                pdf["event_id"], pdf["lon"], pdf["lat"]
+            ):
+                geo = {
+                    "type": "Feature",
+                    "id": int(eid),
+                    "properties": {},
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [float(lon), float(lat)],
+                    },
+                }
+                feats = convert_geojson(geo, options)
+                for fidx, (wcopy, f) in enumerate(
+                    wrap_features(feats, options)
+                ):
+                    rows.append(
+                        feature_to_row(f, 0, 0, 0, [wcopy, int(eid), fidx])
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    feats = ev.mapInPandas(gen, FEATURE_SCHEMA).localCheckpoint(eager=True)
+    store = build_pyramid(feats, options)
+    return store.registry_df().groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("num_features").cast("long").alias("sum_features"),
+        F.sum("num_points").cast("long").alias("sum_points"),
+        F.sum("num_simplified").cast("long").alias("sum_simplified"),
+        F.sum(F.col("has_source").cast("long"))
+        .cast("long")
+        .alias("n_source_tiles"),
+    )
+
+
+SQL_TILE_COUNTERS = f"""
+WITH RECURSIVE
+base AS (
+  SELECT CAST(event_id * 7919 % 36000 AS DOUBLE) / 100.0 / 360.0 AS pxr,
+         sin((CAST(event_id * 104729 % 16000 AS DOUBLE) / 100.0 - 80.0)
+             * pi() / 180.0) AS s
+  FROM events
+),
+pts AS (
+  SELECT pxr AS px0,
+         LEAST(GREATEST(
+           0.5 - 0.25 * ln((1 + s) / (1 - s)) / pi(), 0.0), 1.0) AS py
+  FROM base
+),
+allpts AS (
+  SELECT px0 AS px, py FROM pts
+  UNION ALL SELECT px0 + 1, py FROM pts WHERE px0 < {TC_B}
+  UNION ALL SELECT px0 - 1, py FROM pts WHERE px0 >= 1 - {TC_B}
+),
+tiles(z, x, y) AS (
+  SELECT 0, 0, 0
+  UNION ALL
+  SELECT t.z + 1, t.x * 2 + dx.d, t.y * 2 + dy.d
+  FROM tiles t
+  CROSS JOIN (VALUES (0), (1)) dx(d)
+  CROSS JOIN (VALUES (0), (1)) dy(d)
+  WHERE t.z < {TC_ZMAX}
+    AND (SELECT COUNT(*) FROM allpts p
+         WHERE p.px * (1 << t.z) >= t.x - {TC_B}
+           AND p.px * (1 << t.z) <  t.x + 1 + {TC_B}
+           AND p.py * (1 << t.z) >= t.y - {TC_B}
+           AND p.py * (1 << t.z) <  t.y + 1 + {TC_B}) > {TC_CAP}
+),
+counted AS (
+  SELECT t.z,
+         (SELECT COUNT(*) FROM allpts p
+          WHERE p.px * (1 << t.z) >= t.x - {TC_B}
+            AND p.px * (1 << t.z) <  t.x + 1 + {TC_B}
+            AND p.py * (1 << t.z) >= t.y - {TC_B}
+            AND p.py * (1 << t.z) <  t.y + 1 + {TC_B}) AS nf
+  FROM tiles t
+)
+SELECT CAST(z AS INT) AS z,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(nf) AS BIGINT) AS sum_features,
+       CAST(SUM(nf) AS BIGINT) AS sum_points,
+       CAST(SUM(nf) AS BIGINT) AS sum_simplified,
+       CAST(SUM(CASE WHEN (z = {TC_ZMAX} OR nf <= {TC_CAP}) AND nf > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_source_tiles
+FROM counted GROUP BY z
+"""
+
+
 QUERIES = {
     "project_mercator": q_project_mercator,
     "unproject_mercator": q_unproject_mercator,
@@ -1193,6 +1325,7 @@ QUERIES = {
     "repetition_score": q_repetition_score,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "tile_counters": q_tile_counters,
 }
 
 ORACLES = {
@@ -1221,4 +1354,5 @@ ORACLES = {
     "repetition_score": SQL_REPETITION_SCORE,
     "ngram_jaccard_dedup": SQL_NGRAM_JACCARD_DEDUP,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "tile_counters": SQL_TILE_COUNTERS,
 }

@@ -280,13 +280,14 @@ def line_dedup(
       reassemble each document with ONE groupBy(doc_id): order restored by
       sorting the collected (pos, line) structs. One corpus shuffle,
       hash-lookup cost per line — the 100 TB shape.
-    * 'auto' — count the frequent lines and pick 'array' iff the set fits
-      `boiler_cap`. NOTE: the pick runs its aggregate job EAGERLY at
-      DataFrame-construction time (the plan cannot be chosen lazily);
-      latency-sensitive builders (the driver query does) pin an engine
-      instead. Under auto, boiler_cap=None means "never the array engine"
-      — the unbounded-array escape hatch only exists with an explicit
-      engine='array'.
+    * 'auto' (default) — the join engine, LAZILY: construction runs zero
+      jobs (the r4 verdict's eager count is gone), and the size-adaptive
+      decision the old eager pick made is now AQE's at runtime — the freq
+      side's measured size chooses broadcast-hash vs shuffle join inside
+      ONE plan. The array engine's only remaining edge over an
+      AQE-broadcast join is skipping the corpus reassembly shuffle; pin
+      engine='array' explicitly for genuinely tiny boiler sets on hot
+      paths (the driver query does). boiler_cap is ignored under auto.
 
     Null-text documents are excluded from the output (both engines,
     identically — posexplode of a null array would silently drop them
@@ -304,8 +305,7 @@ def line_dedup(
         .select("line")
     )
     if engine == "auto":
-        cap = boiler_cap if boiler_cap is not None else 0
-        engine = "array" if freq.count() <= cap else "join"
+        engine = "join"
 
     if engine == "join":
         ex = lines.select(

@@ -126,3 +126,15 @@ def test_one_shot_drill_down_serves_from_retained_sources(spark):
             os.environ.pop("SPARK_GRAFT_ONE_SHOT_MAX_POINTS", None)
         else:
             os.environ["SPARK_GRAFT_ONE_SHOT_MAX_POINTS"] = old
+
+
+def test_tile_counters_oracle_matches_duckdb(spark):
+    """r4 verdict item 8: O13's registry counters get a driver-visible
+    oracle row — the REAL pyramid (convert -> wrap -> split -> assembly)
+    over deterministic event points vs a DuckDB recursive-CTE replay of
+    buffered membership, wrap copies, and the stop rule."""
+    from .oracle_harness import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names={"tile_counters"})
+    r = res["tile_counters"]
+    assert r.get("hash_match"), r
