@@ -138,3 +138,27 @@ def test_tile_counters_oracle_matches_duckdb(spark):
     res = run_all(spark, "/root/testdata/sf0.001", names={"tile_counters"})
     r = res["tile_counters"]
     assert r.get("hash_match"), r
+
+
+def test_one_shot_plan_no_shuffle(rects):
+    """The one-shot pass must reach the kernel through a NARROW coalesce —
+    no shuffle Exchange anywhere between the materialized frontier and the
+    single mapInPandas task."""
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.plans.pyramid import UNIFIED_SCHEMA, _subtree_fn
+
+    feats, options = rects
+    import pandas as pd
+
+    sub = _subtree_fn(options, None, emit_root=True)
+
+    def fn(batches):
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            yield sub(pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0])
+
+    df = feats.coalesce(1).mapInPandas(fn, UNIFIED_SCHEMA)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Coalesce" in plan
