@@ -1175,7 +1175,7 @@ TC_CAP = 100          # index_max_points: mixed split/stop at small SF
 TC_B = 1.0 / 64       # buffer/extent = 64/4096, the clip margin
 
 
-def q_tile_counters(spark, sf_dir):
+def tile_counters(spark, sf_dir, zmax: int = TC_ZMAX, cap: int = TC_CAP):
     """Promote O13's registry counters to the oracle surface (r4 verdict
     item 8): run the REAL pyramid machinery (convert -> wrap -> top-down
     split -> assembly counters; reference tile-index.ts:138-228 +
@@ -1190,7 +1190,9 @@ def q_tile_counters(spark, sf_dir):
     the chain equals the direct test) — and antimeridian wrap copies are
     px<b -> +1, px>=1-b -> -1 (functions/wrap.py). The DuckDB twin replays
     the whole thing, INCLUDING the stop rule's tile-existence recursion,
-    with a recursive CTE."""
+    with a recursive CTE. `zmax`/`cap` parameterize depth and the stop
+    threshold (the sweep test hardens the replay at several settings);
+    the driver instance pins TC_ZMAX/TC_CAP."""
     from .config import Options
     from .functions.convert import convert_geojson
     from .functions.wrap import wrap_features
@@ -1199,7 +1201,7 @@ def q_tile_counters(spark, sf_dir):
     from .training import _event_points
 
     options = Options(
-        max_zoom=TC_ZMAX, index_max_zoom=TC_ZMAX, index_max_points=TC_CAP
+        max_zoom=zmax, index_max_zoom=zmax, index_max_points=cap
     )
     ev = _event_points(_t(spark, sf_dir, "events")).select(
         "event_id", "lon", "lat"
@@ -1246,7 +1248,15 @@ def q_tile_counters(spark, sf_dir):
     )
 
 
-SQL_TILE_COUNTERS = f"""
+def q_tile_counters(spark, sf_dir):
+    return tile_counters(spark, sf_dir)
+
+
+def sql_tile_counters(zmax: int = TC_ZMAX, cap: int = TC_CAP) -> str:
+    return _SQL_TILE_COUNTERS_TPL.format(zmax=zmax, cap=cap, b=TC_B)
+
+
+_SQL_TILE_COUNTERS_TPL = """
 WITH RECURSIVE
 base AS (
   SELECT CAST(event_id * 7919 % 36000 AS DOUBLE) / 100.0 / 360.0 AS pxr,
@@ -1262,8 +1272,8 @@ pts AS (
 ),
 allpts AS (
   SELECT px0 AS px, py FROM pts
-  UNION ALL SELECT px0 + 1, py FROM pts WHERE px0 < {TC_B}
-  UNION ALL SELECT px0 - 1, py FROM pts WHERE px0 >= 1 - {TC_B}
+  UNION ALL SELECT px0 + 1, py FROM pts WHERE px0 < {b}
+  UNION ALL SELECT px0 - 1, py FROM pts WHERE px0 >= 1 - {b}
 ),
 tiles(z, x, y) AS (
   SELECT 0, 0, 0
@@ -1272,20 +1282,20 @@ tiles(z, x, y) AS (
   FROM tiles t
   CROSS JOIN (VALUES (0), (1)) dx(d)
   CROSS JOIN (VALUES (0), (1)) dy(d)
-  WHERE t.z < {TC_ZMAX}
+  WHERE t.z < {zmax}
     AND (SELECT COUNT(*) FROM allpts p
-         WHERE p.px * (1 << t.z) >= t.x - {TC_B}
-           AND p.px * (1 << t.z) <  t.x + 1 + {TC_B}
-           AND p.py * (1 << t.z) >= t.y - {TC_B}
-           AND p.py * (1 << t.z) <  t.y + 1 + {TC_B}) > {TC_CAP}
+         WHERE p.px * (1 << t.z) >= t.x - {b}
+           AND p.px * (1 << t.z) <  t.x + 1 + {b}
+           AND p.py * (1 << t.z) >= t.y - {b}
+           AND p.py * (1 << t.z) <  t.y + 1 + {b}) > {cap}
 ),
 counted AS (
   SELECT t.z,
          (SELECT COUNT(*) FROM allpts p
-          WHERE p.px * (1 << t.z) >= t.x - {TC_B}
-            AND p.px * (1 << t.z) <  t.x + 1 + {TC_B}
-            AND p.py * (1 << t.z) >= t.y - {TC_B}
-            AND p.py * (1 << t.z) <  t.y + 1 + {TC_B}) AS nf
+          WHERE p.px * (1 << t.z) >= t.x - {b}
+            AND p.px * (1 << t.z) <  t.x + 1 + {b}
+            AND p.py * (1 << t.z) >= t.y - {b}
+            AND p.py * (1 << t.z) <  t.y + 1 + {b}) AS nf
   FROM tiles t
 )
 SELECT CAST(z AS INT) AS z,
@@ -1293,10 +1303,12 @@ SELECT CAST(z AS INT) AS z,
        CAST(SUM(nf) AS BIGINT) AS sum_features,
        CAST(SUM(nf) AS BIGINT) AS sum_points,
        CAST(SUM(nf) AS BIGINT) AS sum_simplified,
-       CAST(SUM(CASE WHEN (z = {TC_ZMAX} OR nf <= {TC_CAP}) AND nf > 0
+       CAST(SUM(CASE WHEN (z = {zmax} OR nf <= {cap}) AND nf > 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_source_tiles
 FROM counted GROUP BY z
 """
+
+SQL_TILE_COUNTERS = sql_tile_counters()
 
 
 QUERIES = {

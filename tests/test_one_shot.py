@@ -162,3 +162,24 @@ def test_one_shot_plan_no_shuffle(rects):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Coalesce" in plan
+
+
+def test_tile_counters_replay_parameter_sweep(spark):
+    """Harden the recursive-CTE replay beyond the driver instance: depth
+    and stop-cap sweeps must stay hash-equal (exercises deeper recursion,
+    near-universal splitting at tiny caps, and early stops at big ones)."""
+    import duckdb
+
+    from geojson_vt_spark.analytics import sql_tile_counters, tile_counters
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    from .oracle_harness import compare
+
+    for zmax, cap in [(2, 10), (4, 500), (1, 1)]:
+        res = compare(
+            tile_counters(spark, sf, zmax=zmax, cap=cap),
+            con.sql(sql_tile_counters(zmax, cap)),
+        )
+        assert res["hash_match"], (zmax, cap, res)
