@@ -183,3 +183,79 @@ def test_tile_counters_replay_parameter_sweep(spark):
             con.sql(sql_tile_counters(zmax, cap)),
         )
         assert res["hash_match"], (zmax, cap, res)
+
+
+def _random_geojson_corpus(seed, n):
+    """Seeded mixed-geometry FeatureCollection: points, linestrings, and
+    polygons with random sizes/positions, including dateline-adjacent
+    longitudes to exercise the wrap copies."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    feats = []
+    for i in range(n):
+        kind = rng.randint(3)
+        lon = float(rng.uniform(-179.9, 179.9))
+        lat = float(rng.uniform(-79, 79))
+        if rng.rand() < 0.1:  # park some near the antimeridian
+            lon = float(rng.choice([-1, 1]) * rng.uniform(175, 179.9))
+        if kind == 0:
+            geom = {"type": "Point", "coordinates": [lon, lat]}
+        elif kind == 1:
+            k = int(rng.randint(2, 8))
+            pts = [
+                [lon + float(rng.uniform(-2, 2)), lat + float(rng.uniform(-2, 2))]
+                for _ in range(k)
+            ]
+            geom = {"type": "LineString", "coordinates": pts}
+        else:
+            w = float(rng.uniform(0.05, 3.0))
+            h = float(rng.uniform(0.05, 3.0))
+            geom = {
+                "type": "Polygon",
+                "coordinates": [[
+                    [lon, lat], [lon + w, lat], [lon + w, lat + h],
+                    [lon, lat + h], [lon, lat],
+                ]],
+            }
+        feats.append(
+            {"type": "Feature", "id": i, "properties": {"i": i},
+             "geometry": geom}
+        )
+    return {"type": "FeatureCollection", "features": feats}
+
+
+def test_one_shot_equals_loop_random_mixed_geometry(spark):
+    """Randomized corpora of mixed points/lines/polygons (dateline
+    included): the one-shot kernel and the per-level loop must stay
+    row-identical across registry, tiles, and sources — the rect-corpus
+    equality test generalized to every geometry family the engine
+    ingests."""
+    from geojson_vt_spark.model import FEATURE_SCHEMA, feature_to_row
+    from geojson_vt_spark.functions.convert import convert_geojson
+    from geojson_vt_spark.functions.wrap import wrap_features
+
+    for seed in (7, 21):
+        options = Options(max_zoom=9, index_max_zoom=9, index_max_points=64)
+        data = _random_geojson_corpus(seed, 400)
+        rows = []
+        for f in data["features"]:
+            feats = convert_geojson(f, options)
+            for fidx, (wcopy, conv) in enumerate(
+                wrap_features(feats, options)
+            ):
+                rows.append(
+                    feature_to_row(conv, 0, 0, 0, [wcopy, f["id"], fidx])
+                )
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
+        )
+        feats_df = spark.createDataFrame(pdf, schema=FEATURE_SCHEMA).localCheckpoint(
+            eager=True
+        )
+        s_loop = _run(feats_df, options, 0)
+        s_os = _run(feats_df, options, 200_000)
+        assert not s_loop.one_shot and s_os.one_shot, seed
+        assert _collect(s_loop) == _collect(s_os), seed
