@@ -1078,6 +1078,146 @@ def ann_topk_ivf_indexed(
     return ranked_topk(lists.select("vec_id", cos.alias("cos")), k)
 
 
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the semantic
+    clustering a curation pipeline uses for domain discovery, cluster-
+    balanced sampling, and semantic dedup (SemDeDup-style: prune within
+    clusters instead of all-pairs).
+
+    Fully engine-portable by construction, reusing the IVF family's
+    cross-engine contracts: init is the seedless md5-rank pick
+    (`_ivf_centroids`), assignment is the round-6 cosine argmax with ties
+    to the smaller centroid rank (`_ivf_rank_structs` — np.argmax's
+    first-max rule), and the recomputed centroids are per-dimension means
+    ROUNDED TO 6 DECIMALS so both engines re-assign against identical
+    literal centroids next iteration (the `weighted_centroid` oracle's
+    rounded-mean move; double sums agree to ~1e-15 relative, 9 orders
+    inside the rounding).
+
+    Scale shape: per iteration ONE corpus scan — assignment is broadcast
+    Column math (no shuffle), and the mean recompute is
+    posexplode -> groupBy(cluster, pos) with map-side partial aggregation
+    (shuffle volume k x dim x partitions, not corpus rows). The k x dim
+    centroid table collects to the driver between iterations (the Lloyd-
+    on-Spark contract, same as the IVF index build). Empty clusters keep
+    their previous centroid. Returns (vec_id, cluster, cos) — the final
+    assignment plus the round-6 cosine to its centroid."""
+    cents = _ivf_centroids(embeddings, k)
+    for _ in range(iters):
+        assigned = embeddings.select(
+            id_col,
+            vec_col,
+            _ivf_rank_structs(cents)[0]["rk"].alias("cluster"),
+        )
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict = {}
+        for r in stats:
+            by_cluster.setdefault(int(r.cluster), {})[int(r.pos)] = (
+                float(r.s), int(r.n)
+            )
+        new_cents = []
+        for rk, old in cents:
+            dims = by_cluster.get(rk)
+            if dims is None:
+                new_cents.append((rk, old))  # empty cluster keeps centroid
+            else:
+                new_cents.append(
+                    (
+                        rk,
+                        [
+                            _round6_half_up(dims[d][0] / dims[d][1])
+                            for d in range(dim)
+                        ],
+                    )
+                )
+        cents = new_cents
+    final = embeddings.select(
+        id_col, vec_col, _ivf_rank_structs(cents)[0].alias("_best")
+    )
+    return final.select(
+        id_col,
+        F.col("_best.rk").cast("long").alias("cluster"),
+        F.col("_best.cos").alias("cos"),
+    )
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Driver instance: k=8, 2 Lloyd iterations over the embeddings table;
+    the DuckDB twin replays init, both assignment rounds, and the rounded
+    mean update CTE-for-CTE."""
+    return kmeans_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    cos_tpl = """
+           ROUND(
+             list_reduce(list_transform(list_zip(e.embedding, {c}.vec),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+             / (SQRT(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+              * SQRT(list_reduce(list_transform({c}.vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+             6)"""
+    parts = [f"""
+WITH cents0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rk,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+)"""]
+    for it in range(iters):
+        c, a, n = f"cents{it}", f"asg{it}", f"cents{it + 1}"
+        parts.append(f""",
+{a} AS (
+  SELECT vec_id, rk AS cluster FROM (
+    SELECT e.vec_id, {c}.rk,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_tpl.format(c=c)} DESC, {c}.rk) AS rn
+    FROM embeddings e CROSS JOIN {c}
+  ) WHERE rn = 1
+),
+{n} AS (
+  SELECT {c}.rk, COALESCE(m.vec, {c}.vec) AS vec
+  FROM {c} LEFT JOIN (
+    SELECT cluster AS rk, list(mv ORDER BY pos) AS vec FROM (
+      SELECT a.cluster, gs.pos,
+             ROUND(SUM(CAST(e.embedding[gs.pos + 1] AS DOUBLE)) / COUNT(*), 6) AS mv
+      FROM {a} a JOIN embeddings e USING (vec_id)
+      CROSS JOIN generate_series(0, {dim - 1}) gs(pos)
+      GROUP BY a.cluster, gs.pos
+    ) GROUP BY cluster
+  ) m USING (rk)
+)""")
+    final = f"cents{iters}"
+    parts.append(f"""
+SELECT vec_id, CAST(rk AS BIGINT) AS cluster, cos FROM (
+  SELECT e.vec_id, {final}.rk, {cos_tpl.format(c=final)} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos_tpl.format(c=final)} DESC, {final}.rk) AS rn
+  FROM embeddings e CROSS JOIN {final}
+) WHERE rn = 1""")
+    return "".join(parts)
+
+
+SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99, n_bits: int = 8,
     n_bands: int = 4,
@@ -1900,6 +2040,7 @@ QUERIES = {
     "simhash_dedup": _q_simhash_dedup_md5,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "ann_join": q_ann_join,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
@@ -1941,6 +2082,7 @@ ORACLES = {
     # (rounded-cos window), probe set, candidate refine — the folds and the
     # literal centroid norm are the same sequential IEEE left folds
     "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK_IVF,
+    "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     # the same full-pipeline replay, generalized to the batch-query join
     # (bands on both sides, per-query window)
     "ann_join": SQL_ANN_JOIN,

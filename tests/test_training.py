@@ -1011,3 +1011,63 @@ def test_vocab_topk_plan_heap_not_full_sort(spark):
     plan = q_vocab_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+# ---------------------------------------------------------------------------
+# k-means embedding clustering (round 5)
+
+
+def test_kmeans_oracle_matches_duckdb(spark):
+    from .oracle_harness import run_all
+
+    res = run_all(spark, SF, names={"kmeans_embeddings"})
+    assert res["kmeans_embeddings"].get("hash_match"), res
+
+
+def test_kmeans_partition_invariant(spark):
+    """Lloyd on Spark must not depend on physical layout: 1-partition and
+    16-partition inputs give identical assignments (the rounded-mean
+    contract is what makes the sums layout-safe)."""
+    from geojson_vt_spark.training import kmeans_embeddings
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(
+        tuple(r) for r in kmeans_embeddings(e.repartition(16)).collect()
+    )
+    b = sorted(
+        tuple(r) for r in kmeans_embeddings(e.coalesce(1)).collect()
+    )
+    assert a == b
+    assert len({c for _v, c, _s in a}) > 1  # non-vacuous: multiple clusters
+
+
+def test_kmeans_assignment_plan_no_join(spark):
+    """Scale gate: centroids ride as literals, so the final assignment scan
+    is pure Column math — no join, no cartesian; the only exchange in the
+    whole query is the mean recompute's partial agg (and none at all in the
+    returned assignment frame)."""
+    from geojson_vt_spark.training import kmeans_embeddings
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = kmeans_embeddings(e, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
+
+
+def test_kmeans_empty_clusters_keep_centroids(spark):
+    """k larger than the number of distinct points: the unmatched ranks
+    keep their previous centroids and the run still converges."""
+    from geojson_vt_spark.training import kmeans_embeddings
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if i < 3 else [0.0, 1.0, 0.0, 0.0])
+            for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_embeddings(e, k=5, iters=3, dim=4).collect()
+    assert len(got) == 6
+    # the two point groups land in (at most two) coherent clusters
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.vec_id < 3, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in by_group.values())
