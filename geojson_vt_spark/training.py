@@ -1165,19 +1165,26 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
-def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    cos_tpl = """
+_KM_COS_TPL = """
            ROUND(
              list_reduce(list_transform(list_zip(e.embedding, {c}.vec),
                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
              / (SQRT(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
               * SQRT(list_reduce(list_transform({c}.vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
              6)"""
-    parts = [f"""
-WITH cents0 AS (
+
+
+def _sql_kmeans_chain(
+    k: int, iters: int, dim: int, table: str = "embeddings"
+) -> tuple:
+    """The Lloyd CTE chain (cents0 .. cents{iters}) over `table`, WITHOUT
+    the leading WITH keyword or a final SELECT — composable into bigger
+    oracles (semantic dedup prepends WITH RECURSIVE and appends the
+    closure). Returns (chain_sql, final_cents_name)."""
+    parts = [f"""cents0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rk,
          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vec
-  FROM embeddings
+  FROM {table}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {k}
 )"""]
@@ -1188,8 +1195,8 @@ WITH cents0 AS (
   SELECT vec_id, rk AS cluster FROM (
     SELECT e.vec_id, {c}.rk,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {cos_tpl.format(c=c)} DESC, {c}.rk) AS rn
-    FROM embeddings e CROSS JOIN {c}
+                              ORDER BY {_KM_COS_TPL.format(c=c)} DESC, {c}.rk) AS rn
+    FROM {table} e CROSS JOIN {c}
   ) WHERE rn = 1
 ),
 {n} AS (
@@ -1198,21 +1205,30 @@ WITH cents0 AS (
     SELECT cluster AS rk, list(mv ORDER BY pos) AS vec FROM (
       SELECT a.cluster, gs.pos,
              ROUND(SUM(CAST(e.embedding[gs.pos + 1] AS DOUBLE)) / COUNT(*), 6) AS mv
-      FROM {a} a JOIN embeddings e USING (vec_id)
+      FROM {a} a JOIN {table} e USING (vec_id)
       CROSS JOIN generate_series(0, {dim - 1}) gs(pos)
       GROUP BY a.cluster, gs.pos
     ) GROUP BY cluster
   ) m USING (rk)
 )""")
-    final = f"cents{iters}"
-    parts.append(f"""
-SELECT vec_id, CAST(rk AS BIGINT) AS cluster, cos FROM (
-  SELECT e.vec_id, {final}.rk, {cos_tpl.format(c=final)} AS cos,
+    return "".join(parts), f"cents{iters}"
+
+
+def _sql_kmeans_assign(final: str, table: str = "embeddings") -> str:
+    """Final-assignment SELECT body (vec_id, cluster, cos) against the
+    converged centroid CTE — used as the kmeans oracle's tail and as the
+    `asg` CTE of composed oracles."""
+    return f"""SELECT vec_id, CAST(rk AS BIGINT) AS cluster, cos FROM (
+  SELECT e.vec_id, {final}.rk, {_KM_COS_TPL.format(c=final)} AS cos,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY {cos_tpl.format(c=final)} DESC, {final}.rk) AS rn
-  FROM embeddings e CROSS JOIN {final}
-) WHERE rn = 1""")
-    return "".join(parts)
+                            ORDER BY {_KM_COS_TPL.format(c=final)} DESC, {final}.rk) AS rn
+  FROM {table} e CROSS JOIN {final}
+) WHERE rn = 1"""
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    chain, final = _sql_kmeans_chain(k, iters, dim)
+    return "WITH " + chain + "\n" + _sql_kmeans_assign(final)
 
 
 SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
@@ -1220,7 +1236,7 @@ SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99, n_bits: int = 8,
-    n_bands: int = 4,
+    n_bands: int = 4, groups: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: banded multi-probe LSH + exact refine.
 
@@ -1238,7 +1254,13 @@ def embedding_near_dup_pairs(
     same-bucket join this replaces. The exact cosine refine then keeps only
     true pairs, so precision is exact; scale the signature width (n_bits) to
     shrink candidate buckets at corpus scale (candidates ~ n²·bands/2^bits
-    per band value)."""
+    per band value).
+
+    `groups` (optional: a (vec_id, cluster) frame, e.g. a kmeans
+    assignment) restricts the search to SAME-GROUP pairs — the SemDeDup
+    move: the cluster id rides the band join key, so cross-cluster
+    candidates never materialize and each band bucket shrinks by the
+    cluster fan-out."""
     planes = _hyperplanes(n_bits, 64)
     bits_per_band = n_bits // n_bands
     bmask = (1 << bits_per_band) - 1
@@ -1267,12 +1289,18 @@ def embedding_near_dup_pairs(
         )
         .select("vec_id", F.col("bb.band").alias("band"),
                 F.col("bb.bval").alias("bval"))
-        .localCheckpoint(eager=True)
     )
+    join_keys = ["band", "bval"]
+    if groups is not None:
+        bands = bands.join(
+            groups.select("vec_id", "cluster"), "vec_id"
+        )
+        join_keys = ["cluster", "band", "bval"]
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
-        a.join(b, ["band", "bval"])
+        a.join(b, join_keys)
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -1338,6 +1366,118 @@ WHERE ROUND(
           * SQRT(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
          6) >= 0.9
 """
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication endpoint: k-means cluster the
+    corpus (`kmeans_embeddings`), search cosine near-duplicates WITHIN
+    clusters only (`embedding_near_dup_pairs(groups=...)` — the cluster id
+    rides the band join key), collapse pair groups with connected
+    components, and keep the min-id representative of each group. Returns
+    the kept rows as (vec_id, cluster).
+
+    Scale shape: the clustering is the broadcast-literal Lloyd pass; the
+    near-dup search is one banded equi-join whose buckets shrink by the
+    cluster fan-out; CC runs over the tiny pair graph; the final drop-list
+    is broadcast anti-joined — the corpus is never all-pairs joined and
+    never shuffled for the keep step. The documented recall trade is
+    SemDeDup's own: near-dups that straddle a cluster boundary are not
+    searched (raise k-means `iters`/lower `k` to tighten)."""
+    assign = (
+        kmeans_embeddings(embeddings, k, iters, dim)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)  # reused by the band join AND the output
+    )
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold, n_bits, n_bands, groups=assign
+    )
+    cc = connected_components(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    drops = cc.where(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return assign.join(F.broadcast(drops), "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )
+
+
+def q_semantic_dedup_keep(spark, sf_dir):
+    """Driver query: the q_embedding_near_dup planted-twin corpus (each
+    vector gets a +0.02 perturbed twin at cosine ~0.987-0.991) through the
+    full SemDeDup endpoint at threshold 0.9 — twins that share their
+    original's k-means cluster collapse onto the original; the oracle
+    replays clustering, the within-cluster exact pair search, the
+    transitive closure, and the keep rule."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(0.02)).cast("float"),
+        ).alias("embedding"),
+    )
+    return semantic_dedup_keep(e.unionByName(planted), threshold=0.9)
+
+
+def _sql_semantic_dedup_keep(
+    k: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    chain, final = _sql_kmeans_chain(k, iters, dim, table="aug")
+    cos_ab = """ROUND(
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (SQRT(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+          * SQRT(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+         6)"""
+    return f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+  FROM embeddings
+),
+{chain},
+asg AS (
+{_sql_kmeans_assign(final, table="aug")}
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM aug a
+  JOIN asg sa ON a.vec_id = sa.vec_id
+  JOIN aug b ON a.vec_id < b.vec_id
+  JOIN asg sb ON b.vec_id = sb.vec_id AND sa.cluster = sb.cluster
+  WHERE {cos_ab} >= 0.9
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION
+  SELECT vb, va FROM pairs
+),
+reach (vec_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.vec_id
+),
+drops AS (
+  SELECT vec_id FROM reach GROUP BY vec_id HAVING vec_id != MIN(label)
+)
+SELECT s.vec_id, s.cluster FROM asg s
+WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+SQL_SEMANTIC_DEDUP_KEEP = _sql_semantic_dedup_keep()
 
 
 # --------------------------------------------------------------------------
@@ -2041,6 +2181,7 @@ QUERIES = {
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
     "ann_join": q_ann_join,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
@@ -2083,6 +2224,7 @@ ORACLES = {
     # literal centroid norm are the same sequential IEEE left folds
     "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK_IVF,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+    "semantic_dedup_keep": SQL_SEMANTIC_DEDUP_KEEP,
     # the same full-pipeline replay, generalized to the batch-query join
     # (bands on both sides, per-query window)
     "ann_join": SQL_ANN_JOIN,

@@ -1071,3 +1071,62 @@ def test_kmeans_empty_clusters_keep_centroids(spark):
     for r in got:
         by_group.setdefault(r.vec_id < 3, set()).add(r.cluster)
     assert all(len(v) == 1 for v in by_group.values())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup endpoint (round 5)
+
+
+def test_semantic_dedup_oracle_matches_duckdb(spark):
+    from .oracle_harness import run_all
+
+    res = run_all(spark, SF, names={"semantic_dedup_keep"})
+    assert res["semantic_dedup_keep"].get("hash_match"), res
+
+
+def test_semantic_dedup_drops_planted_twins(spark):
+    """On the planted-twin driver corpus: every kept group representative
+    is an original (min id), the keep-list loses about one member per twin
+    pair, and kept ids are unique."""
+    from geojson_vt_spark.training import q_semantic_dedup_keep
+
+    kept = q_semantic_dedup_keep(spark, SF).collect()
+    ids = [r.vec_id for r in kept]
+    assert len(ids) == len(set(ids))
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    # aug corpus = 2*n_vec; at least 80% of twin pairs collapse (the
+    # remainder may straddle a k-means boundary — SemDeDup's own trade)
+    n_dropped = 2 * n_vec - len(ids)
+    assert n_dropped >= int(0.8 * n_vec), (n_dropped, n_vec)
+    # a dropped twin's original must itself be kept
+    kept_set = set(ids)
+    for i in range(n_vec):
+        if i + 1_000_000 not in kept_set:
+            assert i in kept_set, i
+
+
+def test_near_dup_groups_restricts_search(spark):
+    """Identical vectors in DIFFERENT groups are never candidates — the
+    cluster id is part of the band join key, not a post-filter."""
+    from geojson_vt_spark.training import embedding_near_dup_pairs
+
+    v = [1.0] + [0.0] * 63
+    e = spark.createDataFrame(
+        [(1, v), (2, v), (3, v)], "vec_id long, embedding array<float>"
+    )
+    same = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "vec_id long, cluster long"
+    )
+    split = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0)], "vec_id long, cluster long"
+    )
+    got_same = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(e, 0.99, groups=same).collect()
+    }
+    assert got_same == {(1, 2), (1, 3), (2, 3)}
+    got_split = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(e, 0.99, groups=split).collect()
+    }
+    assert got_split == {(1, 3)}
