@@ -1130,3 +1130,17 @@ def test_near_dup_groups_restricts_search(spark):
         for r in embedding_near_dup_pairs(e, 0.99, groups=split).collect()
     }
     assert got_split == {(1, 3)}
+
+
+def test_semantic_dedup_clean_corpus_keeps_everything(spark):
+    """On the raw corpus (no planted twins, max natural cosine ~0.6) the
+    endpoint at the strict default threshold keeps every vector, one row
+    each, with its k-means cluster attached."""
+    from geojson_vt_spark.training import semantic_dedup_keep
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    kept = semantic_dedup_keep(e).collect()
+    assert len(kept) == e.count()
+    assert all(r.cluster >= 1 for r in kept)
